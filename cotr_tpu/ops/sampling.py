@@ -1,0 +1,191 @@
+"""Bilinear sampling / crop-and-resize primitives (pure jnp, XLA-fused).
+
+These replace the native resampling code the reference delegates to:
+
+* ``torch.nn.functional.grid_sample`` used for cycle-consistency confidence and
+  flow resampling (reference COTR/inference/inference_helper.py:139,178-181)
+  -> :func:`grid_sample`;
+* PIL bilinear crop->256 resampling on the inference hot path (reference
+  refinement_task.py:117-118, utils/utils.py:69-83) -> :func:`crop_and_resize`
+  plus the anti-aliasing pyramid in :func:`build_pyramid` /
+  :func:`crop_and_resize_pyramid`.
+
+Coordinate conventions:
+
+* ``grid_sample`` matches torch semantics with ``align_corners=False``:
+  a normalized coordinate g in [-1, 1] maps to pixel coordinate
+  ((g + 1) * size - 1) / 2; out-of-range samples use zero padding.
+* ``crop_and_resize`` matches PIL's center-aligned mapping: output pixel
+  center (i + 0.5) maps to input coordinate (i + 0.5) * (in / out) - 0.5.
+  PIL additionally widens the filter when downscaling (anti-aliasing); the
+  pyramid variant approximates that by sampling from a pre-filtered 2x
+  mip level chosen per box.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_bilinear(image: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                     zero_outside: bool = True) -> jnp.ndarray:
+    """Sample image (H, W, C) at float pixel coords x, y (any shape).
+
+    Out-of-range reads clamp for the gather; ``zero_outside`` masks the result
+    to zero where the *sample point* falls outside torch's zero-padding
+    validity window (matching grid_sample padding_mode='zeros').
+    """
+    image = jnp.asarray(image)
+    h, w = image.shape[0], image.shape[1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0)[..., None]
+    ty = (y - y0)[..., None]
+
+    x0f = x0.astype(jnp.int32)
+    y0f = y0.astype(jnp.int32)
+    x0i = jnp.clip(x0f, 0, w - 1)
+    x1i = jnp.clip(x0f + 1, 0, w - 1)
+    y0i = jnp.clip(y0f, 0, h - 1)
+    y1i = jnp.clip(y0f + 1, 0, h - 1)
+
+    # Zero-padding: each corner contributes only if it lies inside the image.
+    def corner(xi, yi, xf, yf):
+        val = image[yi, xi]
+        if zero_outside:
+            inside = ((xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1))
+            val = val * inside[..., None]
+        return val
+
+    v00 = corner(x0i, y0i, x0, y0)
+    v01 = corner(x1i, y0i, x0 + 1, y0)
+    v10 = corner(x0i, y1i, x0, y0 + 1)
+    v11 = corner(x1i, y1i, x0 + 1, y0 + 1)
+
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def grid_sample(image: jnp.ndarray, grid: jnp.ndarray,
+                align_corners: bool = False) -> jnp.ndarray:
+    """torch.nn.functional.grid_sample parity (bilinear, zero padding).
+
+    image: (H, W, C); grid: (..., 2) normalized (x, y) in [-1, 1].
+    Returns (..., C).
+    """
+    h, w = image.shape[0], image.shape[1]
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1) * 0.5 * (w - 1)
+        y = (gy + 1) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1) * w - 1) * 0.5
+        y = ((gy + 1) * h - 1) * 0.5
+    return _gather_bilinear(image, x, y, zero_outside=True)
+
+
+def resize_bilinear(image: jnp.ndarray, out_hw: Tuple[int, int],
+                    antialias: bool = True) -> jnp.ndarray:
+    """PIL-parity full-image resize; thin wrapper over jax.image.resize.
+
+    jax.image.resize with ``antialias=True`` and the 'linear' method uses the
+    same center-aligned triangle filter PIL uses, so it matches
+    PIL.Image.resize(..., BILINEAR) to ~1e-3 for float inputs
+    (verified in tests/test_ops.py).
+    """
+    out_shape = (out_hw[0], out_hw[1]) + image.shape[2:]
+    return jax.image.resize(image, out_shape, method="linear",
+                            antialias=antialias)
+
+
+def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray,
+                    out_size: int) -> jnp.ndarray:
+    """Crop axis-aligned boxes and resize each to (out_size, out_size).
+
+    image: (H, W, C). boxes: (N, 4) as (x0, y0, w, h) in pixels (float).
+    Returns (N, out_size, out_size, C). Plain bilinear (no anti-aliasing);
+    see :func:`crop_and_resize_pyramid` for the anti-aliased variant.
+
+    The sampling grid reproduces PIL's mapping for a crop of size (bw, bh)
+    resized to out_size: src = x0 + (i + 0.5) * bw / out - 0.5.
+    """
+    n = boxes.shape[0]
+    idx = (jnp.arange(out_size, dtype=image.dtype) + 0.5) / out_size
+
+    def one(box):
+        x0, y0, bw, bh = box[0], box[1], box[2], box[3]
+        # Clamp to the box interior: the reference crops the array first and
+        # PIL edge-replicates at crop borders, so samples never read pixels
+        # outside the box.
+        xs = jnp.clip(x0 + idx * bw - 0.5, x0, x0 + bw - 1)
+        ys = jnp.clip(y0 + idx * bh - 0.5, y0, y0 + bh - 1)
+        gx, gy = jnp.meshgrid(xs, ys)
+        return _gather_bilinear(image, gx, gy, zero_outside=False)
+
+    return jax.vmap(one)(boxes)
+
+
+def pyramid_levels(h: int, w: int, max_levels: int = 5) -> List[Tuple[int, int]]:
+    """Shapes of the 2x mip chain starting at (h, w)."""
+    shapes = [(h, w)]
+    while len(shapes) < max_levels and min(shapes[-1]) >= 2:
+        ph, pw = shapes[-1]
+        shapes.append((max(1, ph // 2), max(1, pw // 2)))
+    return shapes
+
+
+def build_pyramid(image: jnp.ndarray, max_levels: int = 5) -> List[jnp.ndarray]:
+    """Anti-aliased 2x mip chain (each level a box-filtered half image)."""
+    levels = [image]
+    for _ in range(max_levels - 1):
+        prev = levels[-1]
+        h, w = prev.shape[0], prev.shape[1]
+        if min(h, w) < 2:
+            break
+        ph, pw = h // 2 * 2, w // 2 * 2  # drop odd edge rows like a 2x2 box
+        half = prev[:ph, :pw].reshape(ph // 2, 2, pw // 2, 2, -1).mean(axis=(1, 3))
+        levels.append(half)
+    return levels
+
+
+def crop_and_resize_pyramid(pyramid: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                            out_size: int) -> jnp.ndarray:
+    """Anti-aliased crop-and-resize: per box, bilinear-sample the mip level
+    whose downscale factor best matches the box (GPU-texturing style).
+
+    Approximates the reference's PIL anti-aliased downscale
+    (refinement_task.py:117-118) with statically-shaped gathers.
+    boxes: (N, 4) (x0, y0, w, h) in *level-0* pixel units.
+    """
+    n = boxes.shape[0]
+    num_levels = len(pyramid)
+    # level L shrinks coordinates by 2^L
+    scale_per_box = boxes[:, 2] / out_size  # downscale factor (square boxes)
+    lvl = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(scale_per_box, 1.0))),
+                   0, num_levels - 1).astype(jnp.int32)
+
+    idx = (jnp.arange(out_size, dtype=pyramid[0].dtype) + 0.5) / out_size
+
+    def sample_level(level_img, level_idx, box, box_lvl):
+        inv = 0.5 ** level_idx
+        x0, y0, bw, bh = box[0] * inv, box[1] * inv, box[2] * inv, box[3] * inv
+        xs = jnp.clip(x0 + idx * bw - 0.5, x0, x0 + bw - 1)
+        ys = jnp.clip(y0 + idx * bh - 0.5, y0, y0 + bh - 1)
+        gx, gy = jnp.meshgrid(xs, ys)
+        return _gather_bilinear(level_img, gx, gy, zero_outside=False)
+
+    def one(box, box_lvl):
+        outs = [sample_level(pyramid[l], l, box, box_lvl)
+                for l in range(num_levels)]
+        stacked = jnp.stack(outs)  # (L, out, out, C)
+        return stacked[box_lvl]
+
+    # vmap over boxes; the per-level sampling is computed for all levels and
+    # selected — levels are tiny after the first, so the waste is bounded
+    # (sum of 4^-k < 4/3 of level-0 work).
+    return jax.vmap(one)(boxes, lvl)

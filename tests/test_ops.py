@@ -1,0 +1,121 @@
+"""Sampling / canvas op parity tests (grid_sample vs torch, resize vs PIL)."""
+
+import numpy as np
+import PIL.Image
+import pytest
+import torch
+
+from cotr_tpu.ops import (build_pyramid, crop_and_resize,
+                          crop_and_resize_pyramid, grid_sample,
+                          normalize_canvas, resize_bilinear,
+                          two_images_side_by_side)
+
+
+def test_grid_sample_matches_torch():
+    rng = np.random.RandomState(0)
+    img = rng.uniform(0, 1, (17, 23, 3)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (9, 11, 2)).astype(np.float32)
+
+    ours = np.asarray(grid_sample(img, grid))
+
+    t_img = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    t_grid = torch.from_numpy(grid)[None]
+    theirs = torch.nn.functional.grid_sample(
+        t_img, t_grid, mode="bilinear", padding_mode="zeros",
+        align_corners=False)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_grid_sample_align_corners_matches_torch():
+    rng = np.random.RandomState(1)
+    img = rng.uniform(0, 1, (8, 8, 2)).astype(np.float32)
+    grid = rng.uniform(-1, 1, (5, 5, 2)).astype(np.float32)
+    ours = np.asarray(grid_sample(img, grid, align_corners=True))
+    theirs = torch.nn.functional.grid_sample(
+        torch.from_numpy(img.transpose(2, 0, 1))[None],
+        torch.from_numpy(grid)[None], mode="bilinear",
+        padding_mode="zeros", align_corners=True)[0].permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((64, 64), (256, 256)),
+                                          ((300, 300), (256, 256)),
+                                          ((512, 512), (256, 256))])
+def test_resize_matches_pil(in_hw, out_hw):
+    """PIL-parity budget: <0.5/255 mean, small max error (SURVEY.md §7)."""
+    rng = np.random.RandomState(2)
+    img = rng.uniform(0, 255, in_hw + (3,)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(img, out_hw))
+    pil = np.stack([
+        np.array(PIL.Image.fromarray(img[..., c]).resize(
+            out_hw[::-1], resample=PIL.Image.BILINEAR))
+        for c in range(3)], axis=-1)
+    err = np.abs(ours - pil)
+    assert err.mean() < 0.5, err.mean()
+    assert err.max() < 4.0, err.max()
+
+
+def test_crop_and_resize_identity():
+    """A crop of the full image resized to its own size is the image."""
+    rng = np.random.RandomState(3)
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    boxes = np.array([[0.0, 0.0, 32.0, 32.0]], np.float32)
+    out = np.asarray(crop_and_resize(img, boxes, 32))[0]
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_crop_and_resize_upscale_matches_pil():
+    """Upscaling (no anti-aliasing involved) should match PIL closely."""
+    rng = np.random.RandomState(4)
+    img = rng.uniform(0, 255, (64, 64, 1)).astype(np.float32)
+    # crop the central 32x32, upscale to 128
+    boxes = np.array([[16.0, 16.0, 32.0, 32.0]], np.float32)
+    ours = np.asarray(crop_and_resize(img, boxes, 128))[0, ..., 0]
+    pil = np.array(PIL.Image.fromarray(img[16:48, 16:48, 0]).resize(
+        (128, 128), resample=PIL.Image.BILINEAR))
+    np.testing.assert_allclose(ours, pil, atol=1e-2)
+
+
+def test_pyramid_crop_downscale_close_to_pil():
+    """Mip-level sampling approximates PIL's anti-aliased downscale.
+
+    On white noise the box-cascade and PIL's triangle filter differ maximally,
+    so we check (a) natural-frequency content stays close to PIL and (b) even
+    on noise the pyramid beats plain (aliased) bilinear.
+    """
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
+    smooth = (127 + 60 * np.sin(xx / 17) * np.cos(yy / 23) +
+              40 * np.sin((xx + yy) / 41))[..., None].astype(np.float32)
+    pyr = [np.asarray(l) for l in build_pyramid(smooth)]
+    boxes = np.array([[0.0, 0.0, 512.0, 512.0]], np.float32)
+    ours = np.asarray(crop_and_resize_pyramid(pyr, boxes, 128))[0, ..., 0]
+    pil = np.array(PIL.Image.fromarray(smooth[..., 0]).resize(
+        (128, 128), resample=PIL.Image.BILINEAR))
+    assert np.abs(ours - pil).mean() < 2.0, np.abs(ours - pil).mean()
+
+    rng = np.random.RandomState(5)
+    noise = rng.uniform(0, 255, (512, 512, 1)).astype(np.float32)
+    pyr_n = [np.asarray(l) for l in build_pyramid(noise)]
+    ours_n = np.asarray(crop_and_resize_pyramid(pyr_n, boxes, 128))[0, ..., 0]
+    aliased = np.asarray(crop_and_resize(noise, boxes, 128))[0, ..., 0]
+    pil_n = np.array(PIL.Image.fromarray(noise[..., 0]).resize(
+        (128, 128), resample=PIL.Image.BILINEAR))
+    assert (np.abs(ours_n - pil_n).mean() <
+            0.5 * np.abs(aliased - pil_n).mean())
+
+
+def test_canvas_normalization_matches_torchvision_math():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 255, (8, 16, 3), dtype=np.uint8)
+    out = normalize_canvas(img)
+    expected = (img.astype(np.float32) / 255.0 -
+                np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out, expected.astype(np.float32), atol=1e-6)
+
+
+def test_side_by_side():
+    a = np.ones((4, 4, 3))
+    b = np.zeros((4, 4, 3))
+    c = two_images_side_by_side(a, b)
+    assert c.shape == (4, 8, 3)
+    assert c[:, :4].all() and not c[:, 4:].any()
