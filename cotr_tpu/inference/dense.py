@@ -1,0 +1,182 @@
+"""Dense flow: full-grid decode + cycle-consistency confidence + patch tiling.
+
+TPU-native rework of the reference dense pass
+(COTR/inference/inference_helper.py:105-182):
+
+* the 256x512 = 131,072-query grid decodes against ONE cached canvas encode,
+  chunked through a ``lax.scan`` (the reference re-runs the CNN+encoder inside
+  one giant forward, and falls back to 256 row-wise forwards on small GPUs);
+* cycle-consistency confidence samples the predicted flow field through
+  itself with the grid_sample-parity op (inference_helper.py:137-140);
+* patch tiling (``to_square_patches``) and min-confidence merging
+  (``merge_flow_patches``) stay as host-side numpy glue around device passes
+  (inference_helper.py:41-75), with the affine patch->global maps computed in
+  closed form instead of cv2.getAffineTransform (inference_helper.py:152-158:
+  both rects are axis-aligned, so the affine is a pure scale+translate).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cotr_tpu.inference.runner import ModelRunner
+from cotr_tpu.ops.canvas import normalize_canvas, two_images_side_by_side
+from cotr_tpu.ops.sampling import grid_sample, resize_bilinear
+from cotr_tpu.utils.constants import MAX_SIZE
+
+
+@dataclass
+class ImagePatch:
+    """Patch bookkeeping (reference utils/utils.py:24): patch content (or
+    None), (x, y) upper-left in the original frame, patch (w, h), original
+    (ow, oh)."""
+
+    patch: Optional[np.ndarray]
+    x: int
+    y: int
+    w: int
+    h: int
+    ow: int
+    oh: int
+
+
+def to_square_patches(img: np.ndarray) -> List[ImagePatch]:
+    """Cover a (possibly non-square) image with 1-2 max-square patches
+    (inference_helper.py:41-58; aspect ratios beyond 2:1 unsupported there
+    too)."""
+    h, w = img.shape[:2]
+    size = min(h, w)
+    if h == w:
+        return [ImagePatch(img[:size, :size], 0, 0, size, size, w, h)]
+    if max(h, w) <= 2 * size:
+        return [
+            ImagePatch(img[:size, :size], 0, 0, size, size, w, h),
+            ImagePatch(img[-size:, -size:], w - size, h - size, size, size, w, h),
+        ]
+    raise NotImplementedError(
+        "aspect ratio > 2 not supported (reference inference_helper.py:56-57)")
+
+
+@functools.lru_cache(maxsize=2)
+def full_grid_queries(h: int = MAX_SIZE, w: int = 2 * MAX_SIZE) -> np.ndarray:
+    """The reference's dense query grid: x = j/w, y = i/h
+    (inference_helper.py:117-121) -> (h*w, 2) float32."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    grid = np.stack([xs / w, ys / h], axis=-1)
+    return grid.reshape(-1, 2).astype(np.float32)
+
+
+def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
+    """canvas (1, 256, 512, 3) normalized -> (256, 512, 3) stacked
+    [corr_x, corr_y (global canvas coords in [-1,1] doubled per half),
+    confidence] exactly as reference one_pass (inference_helper.py:106-145).
+    """
+    queries = jnp.asarray(full_grid_queries())[None]  # (1, HW, 2)
+    memory = runner.encode(canvas)
+    out = runner.decode_chunked(memory, queries)[0]  # (HW, 2)
+
+    h, w = MAX_SIZE, 2 * MAX_SIZE
+    out_grid = out.reshape(h, w, 2) * 2 - 1
+    in_grid = queries[0].reshape(h, w, 2) * 2 - 1
+    # flow-through-itself cycle (inference_helper.py:137-140)
+    cycle = grid_sample(out_grid, out_grid)  # field sampled at predictions
+    confidence = jnp.linalg.norm(cycle - in_grid, axis=-1)
+
+    # remap x to per-image [-1, 1]: left-half queries predict into image b,
+    # right-half into image a (inference_helper.py:142-143)
+    corr_x = jnp.concatenate([
+        out_grid[:, :MAX_SIZE, 0] * 2 - 1,
+        out_grid[:, MAX_SIZE:, 0] * 2 + 1,
+    ], axis=1)
+    return jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
+
+
+def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
+               img_b_sq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Two square uint8/float images -> (corr_a, corr_b) each (256, 256, 3):
+    per-pixel [-1,1] target coords in the *other* image + cycle confidence."""
+    a = np.asarray(resize_bilinear(jnp.asarray(img_a_sq, jnp.float32),
+                                   (MAX_SIZE, MAX_SIZE)))
+    b = np.asarray(resize_bilinear(jnp.asarray(img_b_sq, jnp.float32),
+                                   (MAX_SIZE, MAX_SIZE)))
+    scale = 255.0 if img_a_sq.dtype == np.uint8 or a.max() > 2.0 else 1.0
+    canvas = normalize_canvas(two_images_side_by_side(a, b) / scale)[None]
+    corr = np.asarray(_dense_pass_device(runner, jnp.asarray(canvas)))
+    return corr[:, :MAX_SIZE], corr[:, MAX_SIZE:]
+
+
+def _patch_affine(p: ImagePatch) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed-form affine mapping patch-local [-1,1] coords to global [-1,1]
+    coords of the original image (replaces cv2.getAffineTransform on
+    axis-aligned corners, inference_helper.py:152-158)."""
+    sx, sy = p.w / p.ow, p.h / p.oh
+    tx = 2 * p.x / p.ow - 1 + sx
+    ty = 2 * p.y / p.oh - 1 + sy
+    return np.array([sx, sy]), np.array([tx, ty])
+
+
+def merge_flow_patches(corrs: List[ImagePatch]
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Min-confidence merge of per-patch flow fields into the full frame
+    (inference_helper.py:61-75). Returns (flow, confidence, provenance)."""
+    oh, ow = corrs[0].oh, corrs[0].ow
+    confidence = np.full([oh, ow], 100.0)
+    flow = np.zeros([oh, ow, 2])
+    cmap = np.full([oh, ow], -1.0)
+    for i, c in enumerate(corrs):
+        conf_i = np.full([oh, ow], 100.0)
+        conf_i[c.y:c.y + c.h, c.x:c.x + c.w] = c.patch[..., 2]
+        flow_i = np.zeros([oh, ow, 2])
+        flow_i[c.y:c.y + c.h, c.x:c.x + c.w] = c.patch[..., :2]
+        better = conf_i < confidence
+        confidence[better] = conf_i[better]
+        flow[better] = flow_i[better]
+        cmap[better] = i
+    return flow, confidence, cmap
+
+
+def dense_flow(runner: ModelRunner, img_a: np.ndarray, img_b: np.ndarray):
+    """Reference ``cotr_flow`` (inference_helper.py:168-182): exhaustive
+    patch-pair dense passes, affine-merged into full-frame flow fields.
+
+    Returns (corr_a, con_a, corr_b, con_b): corr_* are (H, W, 2) flows in the
+    other image's [-1, 1] coords; con_* are (H, W) cycle errors.
+    """
+    patches_a = to_square_patches(img_a)
+    patches_b = to_square_patches(img_b)
+
+    corrs_a: List[ImagePatch] = []
+    corrs_b: List[ImagePatch] = []
+    for p_i in patches_a:
+        for p_j in patches_b:
+            c_i, c_j = dense_pass(runner, p_i.patch, p_j.patch)
+            # map patch-local predictions to global [-1,1] of the other image
+            s_j, t_j = _patch_affine(p_j)
+            s_i, t_i = _patch_affine(p_i)
+            c_i = c_i.copy()
+            c_j = c_j.copy()
+            c_i[..., :2] = c_i[..., :2] * s_j + t_j
+            c_j[..., :2] = c_j[..., :2] * s_i + t_i
+            c_i = np.asarray(resize_bilinear(jnp.asarray(c_i), (p_i.h, p_i.w)))
+            c_j = np.asarray(resize_bilinear(jnp.asarray(c_j), (p_j.h, p_j.w)))
+            corrs_a.append(ImagePatch(c_i, p_i.x, p_i.y, p_i.w, p_i.h,
+                                      p_i.ow, p_i.oh))
+            corrs_b.append(ImagePatch(c_j, p_j.x, p_j.y, p_j.w, p_j.h,
+                                      p_j.ow, p_j.oh))
+
+    corr_a, con_a, _ = merge_flow_patches(corrs_a)
+    corr_b, con_b, _ = merge_flow_patches(corrs_b)
+    return corr_a, con_a, corr_b, con_b
+
+
+def warp_by_flow(img_other: np.ndarray, corr: np.ndarray) -> np.ndarray:
+    """Resample the other image through a [-1,1] flow field (the reference's
+    grid_sample resample, inference_helper.py:178-181)."""
+    out = grid_sample(jnp.asarray(img_other, jnp.float32), jnp.asarray(corr))
+    return np.asarray(out)

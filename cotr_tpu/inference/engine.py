@@ -1,0 +1,366 @@
+"""SparseEngine: reference-compatible sparse correspondence API, TPU-batched.
+
+Mirrors ``COTR/inference/sparse_engine.py`` behaviorally — same seeding rules,
+thresholds, filters and return conventions — but the execution model is
+inverted for TPU: there are no task objects or dynamic batches. Seeding is
+vectorized numpy on the dense-pass output; refinement advances ALL tasks
+through the zoom schedule in lockstep inside one compiled ``lax.scan``
+(see cotr_tpu/inference/refine.py). The reference's ``FasterSparseEngine``
+exists only to amortize per-task Python/PIL work (sparse_engine.py:267-427);
+here that amortization is the default execution model, so a separate class is
+unnecessary — ``SparseEngine`` IS the fast path (an alias is provided for API
+compatibility).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from cotr_tpu.inference.dense import dense_flow, dense_pass, to_square_patches
+from cotr_tpu.inference.refine import BatchRefiner
+from cotr_tpu.inference.runner import ModelRunner
+from cotr_tpu.ops.sampling import resize_bilinear
+from cotr_tpu.utils.constants import (BASE_ZOOM, THRESHOLD_AREA,
+                                      THRESHOLD_PIXELS_RELATIVE,
+                                      THRESHOLD_SPARSE)
+import jax.numpy as jnp
+
+
+def _to_float01(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    img = img.astype(np.float32)
+    return img / 255.0 if img.max() > 2.0 else img
+
+
+def stretch_to_square(img: np.ndarray) -> np.ndarray:
+    """Stretch to a max(h,w) square (reference capture.py:123-125)."""
+    size = max(img.shape[:2])
+    out = resize_bilinear(jnp.asarray(img, jnp.float32), (size, size))
+    return np.asarray(out)
+
+
+def _resize_field(field: np.ndarray, shape_hw: Tuple[int, int]) -> np.ndarray:
+    return np.asarray(resize_bilinear(jnp.asarray(field, jnp.float32),
+                                      shape_hw))
+
+
+class SparseEngine:
+    """Drop-in equivalent of the reference SparseEngine
+    (sparse_engine.py:17-264).
+
+    Parameters
+    ----------
+    runner: ModelRunner wrapping (model, params).
+    batch_size: max tasks refined per device dispatch (tasks beyond this are
+        chunked; unlike the reference this is a throughput knob, not a
+        scheduling unit).
+    mode: 'stretching' (non-square images stretched square for the seed pass)
+        or 'tile' (patch tiling), as in the reference.
+    task_bucket: task counts are padded up to a multiple of this to bound
+        recompilation.
+    seed: RNG seed for the confidence-masked random seeding
+        (sparse_engine.py:148-166), kept deterministic for reproducibility.
+    """
+
+    def __init__(self, runner: ModelRunner, batch_size: int = 1024,
+                 mode: str = "stretching", task_bucket: int = 256,
+                 image_bucket: int = 256, seed: int = 0):
+        assert mode in ("stretching", "tile")
+        self.runner = runner
+        self.batch_size = batch_size
+        self.mode = mode
+        self.task_bucket = task_bucket
+        self.refiner = BatchRefiner(runner, bucket=image_bucket)
+        self.rng = np.random.RandomState(seed)
+        self.total_tasks = 0
+
+    # ------------------------------------------------------------------ seed
+
+    def _dense_fields(self, img_a: np.ndarray, img_b: np.ndarray):
+        """Dense seed pass honoring the engine mode (sparse_engine.py:114-141).
+
+        Returns (corr_a, con_a, corr_b, con_b) at ORIGINAL image resolutions.
+        """
+        a_shape = img_a.shape[:2]
+        b_shape = img_b.shape[:2]
+        nonsquare = a_shape[0] != a_shape[1] or b_shape[0] != b_shape[1]
+        if self.mode == "stretching" and nonsquare:
+            corr_a, con_a, corr_b, con_b = dense_flow(
+                self.runner, stretch_to_square(img_a),
+                stretch_to_square(img_b))
+            corr_a = _resize_field(corr_a, a_shape)
+            con_a = _resize_field(con_a, a_shape)
+            corr_b = _resize_field(corr_b, b_shape)
+            con_b = _resize_field(con_b, b_shape)
+        else:
+            corr_a, con_a, corr_b, con_b = dense_flow(self.runner, img_a, img_b)
+        return corr_a, con_a, corr_b, con_b
+
+    def _seed_tasks(self, img_a, img_b, max_corrs, queries_a, force):
+        """Vectorized gen_tasks (sparse_engine.py:108-195).
+
+        Returns (loc_from, loc_to, identifiers, area_a, area_b); all task
+        arrays describe a->b refinements.
+        """
+        corr_a, con_a, corr_b, con_b = self._dense_fields(img_a, img_b)
+        h_a, w_a = img_a.shape[:2]
+        h_b, w_b = img_b.shape[:2]
+        mask_a = con_a < THRESHOLD_SPARSE
+        mask_b = con_b < THRESHOLD_SPARSE
+        area_a = float((con_a < THRESHOLD_AREA).sum()) / mask_a.size
+        area_b = float((con_b < THRESHOLD_AREA).sum()) / mask_b.size
+
+        def lookup(corr, pos_yx, to_wh):
+            tgt = corr[pos_yx[:, 0], pos_yx[:, 1]]  # (N, 2) in [-1, 1]
+            return (tgt * 0.5 + 0.5) * np.asarray(to_wh)
+
+        if queries_a is None:
+            # random confident seeds from BOTH directions
+            # (sparse_engine.py:148-166)
+            idx_a = np.argwhere(mask_a)
+            idx_b = np.argwhere(mask_b)
+            sel_a = idx_a[self.rng.choice(len(idx_a),
+                                          min(max_corrs, len(idx_a)))] \
+                if len(idx_a) else np.zeros((0, 2), int)
+            sel_b = idx_b[self.rng.choice(len(idx_b),
+                                          min(max_corrs, len(idx_b)))] \
+                if len(idx_b) else np.zeros((0, 2), int)
+            lf_a = sel_a[:, ::-1].astype(np.float64)
+            lt_a = lookup(corr_a, sel_a, (w_b, h_b))
+            # b-seeds fix the first guess instead of the query
+            # (sparse_engine.py:159-166)
+            lt_b = sel_b[:, ::-1].astype(np.float64)
+            lf_b = lookup(corr_b, sel_b, (w_a, h_a))
+            loc_from = np.concatenate([lf_a, lf_b], axis=0)
+            loc_to = np.concatenate([lt_a, lt_b], axis=0)
+            ident = np.arange(len(loc_from))
+        elif force:
+            # every query becomes a task (sparse_engine.py:169-173)
+            pos = queries_a[:, ::-1]
+            pos = np.stack([np.clip(pos[:, 0], 0, corr_a.shape[0] - 1),
+                            np.clip(pos[:, 1], 0, corr_a.shape[1] - 1)],
+                           axis=1).astype(int)
+            loc_from = queries_a.astype(np.float64)
+            loc_to = lookup(corr_a, pos, (w_b, h_b))
+            ident = np.arange(len(queries_a))
+        else:
+            # confidence-filtered + backfill (sparse_engine.py:175-194)
+            pos = queries_a[:, ::-1]
+            inb = ((pos < np.array([h_a, w_a]) - 1).all(axis=1) &
+                   (pos >= 0).all(axis=1))
+            posi = np.floor(pos).astype(int)
+            posi_c = np.stack([np.clip(posi[:, 0], 0, h_a - 1),
+                               np.clip(posi[:, 1], 0, w_a - 1)], axis=1)
+            confident = np.zeros(len(queries_a), bool)
+            confident[inb] = mask_a[posi_c[inb, 0], posi_c[inb, 1]]
+            chosen = inb & confident
+            n_backfill = max(0, max_corrs - int(chosen.sum()))
+            backfill_pool = np.where(inb & ~confident)[0][:n_backfill]
+            sel = np.concatenate([np.where(chosen)[0], backfill_pool])
+            loc_from = queries_a[sel].astype(np.float64)
+            loc_to = lookup(corr_a, posi_c[sel], (w_b, h_b))
+            ident = sel
+        return (loc_from, loc_to, ident.astype(int), area_a, area_b)
+
+    # ---------------------------------------------------------------- refine
+
+    def _refine_all(self, img_a, img_b, loc_from, loc_to, area_a, area_b,
+                    zoom_ins, converge_iters):
+        """Run every task through the zoom scan; returns the full location
+        history (Z+1, T, 2) including the seed row (loc_history semantics,
+        refinement_task.py:43,179)."""
+        if area_a < area_b:  # refinement_task.py:25-30
+            s_from, s_to = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_b / area_a)
+        else:
+            s_to, s_from = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_a / area_b)
+
+        pyr_a, hw_a = self.refiner.build_pyramid(_to_float01(img_a))
+        pyr_b, hw_b = self.refiner.build_pyramid(_to_float01(img_b))
+
+        t = len(loc_from)
+        histories = []
+        for start in range(0, t, self.batch_size):
+            lf = loc_from[start:start + self.batch_size]
+            lt = loc_to[start:start + self.batch_size]
+            n = len(lf)
+            pad = -(-n // self.task_bucket) * self.task_bucket - n
+            if pad:
+                lf = np.concatenate([lf, np.zeros((pad, 2))], axis=0)
+                lt = np.concatenate([lt, np.zeros((pad, 2))], axis=0)
+            hist = self.refiner.refine(pyr_a, hw_a, pyr_b, hw_b, lf, lt,
+                                       s_from, s_to, zoom_ins, converge_iters)
+            histories.append(hist[:, :n])
+            self.total_tasks += n * hist.shape[0]
+        history = np.concatenate(histories, axis=1)  # (Z, T, 2)
+        return np.concatenate([loc_to[None], history], axis=0)
+
+    # --------------------------------------------------------------- conclude
+
+    def _conclude(self, loc_from, history, ident, img_a_shape, img_b_shape,
+                  force):
+        """std filter (refinement_task.py:184-188) + border filter
+        (sparse_engine.py:58-84), vectorized."""
+        best = history[-1]
+        corrs = np.concatenate([loc_from, best], axis=1)
+        keep = np.ones(len(corrs), bool)
+        if not force:
+            std = history.std(axis=0).max(axis=1)  # (T,)
+            keep &= std < THRESHOLD_PIXELS_RELATIVE * max(*img_b_shape)
+            hi = np.concatenate([np.asarray(img_a_shape[::-1]),
+                                 np.asarray(img_b_shape[::-1])])
+            keep &= (corrs < hi).all(axis=1) & (corrs > 0).all(axis=1)
+        return corrs[keep], ident[keep]
+
+    # ------------------------------------------------------------ public API
+
+    def cotr_corr_multiscale(self, img_a, img_b,
+                             zoom_ins: Sequence[float] = (1.0,),
+                             converge_iters: int = 1, max_corrs: int = 1000,
+                             queries_a: Optional[np.ndarray] = None,
+                             return_idx: bool = False, force: bool = False,
+                             areas: Optional[Sequence[float]] = None):
+        """Reference API (sparse_engine.py:197-233): multiscale sparse
+        correspondence a->b. Returns (max_corrs, 4) [x_a, y_a, x_b, y_b]
+        (+ query indices with return_idx)."""
+        img_a = np.asarray(img_a)
+        img_b = np.asarray(img_b)
+        if queries_a is not None:
+            queries_a = np.asarray(queries_a, np.float64).copy()
+
+        if areas is not None:
+            # known-scale path (sparse_engine.py:100-113): skip the dense
+            # pass, seed via one-shot patch queries
+            assert queries_a is not None and force
+            corr = self.corr_base(img_a, img_b, queries_a)
+            loc_from, loc_to = corr[:, :2], corr[:, 2:]
+            ident = np.arange(len(corr))
+            area_a, area_b = float(areas[0]), float(areas[1])
+        else:
+            loc_from, loc_to, ident, area_a, area_b = self._seed_tasks(
+                img_a, img_b, max_corrs, queries_a, force)
+
+        if len(loc_from) == 0:
+            empty = np.zeros((0, 4))
+            return (empty, np.zeros(0, int)) if return_idx else empty
+
+        history = self._refine_all(img_a, img_b, loc_from, loc_to,
+                                   area_a, area_b, zoom_ins, converge_iters)
+        corrs, idx = self._conclude(loc_from, history, ident,
+                                    img_a.shape[:2], img_b.shape[:2], force)
+        corrs, idx = corrs[:max_corrs], idx[:max_corrs]
+        return (corrs, idx) if return_idx else corrs
+
+    def cotr_corr_multiscale_with_cycle_consistency(
+            self, img_a, img_b, zoom_ins: Sequence[float] = (1.0,),
+            converge_iters: int = 1, max_corrs: int = 1000,
+            queries_a: Optional[np.ndarray] = None, return_idx: bool = False,
+            return_cycle_error: bool = False):
+        """Bidirectional matching ranked by cycle error
+        (sparse_engine.py:235-264)."""
+        EXTRACTION_RATE = 0.3
+        temp_max = int(max_corrs / EXTRACTION_RATE)
+        if queries_a is not None:
+            temp_max = min(temp_max, queries_a.shape[0])
+            queries_a = np.asarray(queries_a, np.float64).copy()
+        corr_f, idx_f = self.cotr_corr_multiscale(
+            img_a, img_b, zoom_ins=zoom_ins, converge_iters=converge_iters,
+            max_corrs=temp_max, queries_a=queries_a, return_idx=True)
+        assert corr_f.shape[0] > 0, "forward pass produced no correspondences"
+        corr_b, idx_b = self.cotr_corr_multiscale(
+            img_b, img_a, zoom_ins=zoom_ins, converge_iters=converge_iters,
+            max_corrs=corr_f.shape[0], queries_a=corr_f[:, 2:].copy(),
+            return_idx=True)
+        assert corr_b.shape[0] > 0, "backward pass produced no correspondences"
+        cycle_errors = np.linalg.norm(corr_f[idx_b][:, :2] - corr_b[:, 2:],
+                                      axis=1)
+        order = np.argsort(cycle_errors)
+        out = [corr_f[idx_b][order][:max_corrs]]
+        if return_idx:
+            out.append(idx_f[idx_b][order][:max_corrs])
+        if return_cycle_error:
+            out.append(cycle_errors[order][:max_corrs])
+        return out[0] if len(out) == 1 else out
+
+    # ----------------------------------------------------------- extra paths
+
+    def corr_base(self, img_a, img_b, queries_a) -> np.ndarray:
+        """One-shot (no-zoom) sparse queries over exhaustive patch pairs with
+        cycle-consistency confidence (cotr_corr_base,
+        inference_helper.py:185-232)."""
+        from cotr_tpu.ops.canvas import normalize_canvas, two_images_side_by_side
+        import jax.numpy as jnp
+
+        patches_a = to_square_patches(np.asarray(img_a))
+        patches_b = to_square_patches(np.asarray(img_b))
+        preds = []
+        for p_i in patches_a:
+            for p_j in patches_b:
+                q = queries_a.copy()
+                in_patch = ((q[:, 0] >= p_i.x) & (q[:, 1] >= p_i.y) &
+                            (q[:, 0] <= p_i.x + p_i.w) &
+                            (q[:, 1] <= p_i.y + p_i.h))
+                qn = np.stack([(q[:, 0] - p_i.x) / (2 * p_i.w),
+                               (q[:, 1] - p_i.y) / p_i.h], axis=1)
+
+                a = np.asarray(resize_bilinear(
+                    jnp.asarray(_to_float01(p_i.patch)), (256, 256)))
+                b = np.asarray(resize_bilinear(
+                    jnp.asarray(_to_float01(p_j.patch)), (256, 256)))
+                canvas = normalize_canvas(
+                    two_images_side_by_side(a, b))[None]
+                mem = self.runner.encode(jnp.asarray(canvas))
+                out = np.asarray(self.runner.decode(
+                    mem, qn[None].astype(np.float32)))[0]
+                cycle = np.asarray(self.runner.decode(
+                    mem, out[None]))[0]
+                conf = np.linalg.norm(qn - cycle, axis=1)
+                conf[~in_patch] = np.inf
+                pred = np.stack([
+                    (out[:, 0] - 0.5) * 2 * p_j.w + p_j.x,
+                    out[:, 1] * p_j.h + p_j.y,
+                    conf,
+                ], axis=1)
+                preds.append(pred)
+        preds = np.stack(preds)  # (P, N, 3)
+        best = preds[np.argmin(preds[..., 2], axis=0), np.arange(preds.shape[1])]
+        return np.concatenate([queries_a, best[:, :2]], axis=1)
+
+
+class FasterSparseEngine(SparseEngine):
+    """Squad-grouped engine (reference sparse_engine.py:267-427): queries
+    that fall inside a pilot task's patch window share the pilot's crops, so
+    one canvas encode serves up to ``max_load`` queries. Same accuracy
+    caveat as the reference: members reuse the *pilot's* crop, trading a
+    little spatial accuracy for throughput.
+    """
+
+    def __init__(self, runner: ModelRunner, batch_size: int = 1024,
+                 mode: str = "stretching", task_bucket: int = 256,
+                 image_bucket: int = 256, seed: int = 0, max_load: int = 256):
+        super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
+                         seed)
+        self.max_load = max_load
+        from cotr_tpu.inference.grouped import GroupedStepper
+        self._stepper = GroupedStepper(runner)
+
+    def _refine_all(self, img_a, img_b, loc_from, loc_to, area_a, area_b,
+                    zoom_ins, converge_iters):
+        from cotr_tpu.inference.grouped import refine_grouped
+
+        if area_a < area_b:
+            s_from, s_to = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_b / area_a)
+        else:
+            s_to, s_from = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_a / area_b)
+        pyr_a, hw_a = self.refiner.build_pyramid(_to_float01(img_a))
+        pyr_b, hw_b = self.refiner.build_pyramid(_to_float01(img_b))
+        from cotr_tpu.inference.refine import zoom_schedule
+        zooms = zoom_schedule(zoom_ins, converge_iters)
+        history = refine_grouped(
+            self.runner, self._stepper, pyr_a, hw_a, pyr_b, hw_b,
+            np.asarray(loc_from, np.float64), np.asarray(loc_to, np.float64),
+            s_from, s_to, zooms, self.rng, max_load=self.max_load)
+        self.total_tasks += history.shape[0] * history.shape[1]
+        return np.concatenate([np.asarray(loc_to)[None], history], axis=0)

@@ -1,0 +1,178 @@
+"""Grouped (squad) refinement: many queries share one crop-pair encode.
+
+Reference ``FasterSparseEngine`` (sparse_engine.py:267-427): at each zoom
+level, tasks whose (loc_from, loc_to) both fall inside a pilot task's
+SAFE_AREA=0.5 patch window reuse the pilot's crops — one canvas encode then
+amortizes across up to ``max_load`` queries (the reference reports ~2.7x;
+here the encode itself is also batched across squads, so the win compounds).
+
+Per zoom level:
+  host   — greedy squad formation over task positions (numpy transcription
+           of form_squad, sparse_engine.py:295-337);
+  device — crop G pilot patch-pairs from the pyramids, encode the G canvases,
+           decode the (G, M) padded query matrix in one shot;
+  host   — denormalize each member's prediction through its squad's target
+           patch (scale_to_loc, refinement_task.py:145-151).
+
+This grouped decode path is the framework's peak-throughput regime: marginal
+cost per query is ~6 decoder layers (~11 MFLOP) instead of a full canvas
+encode (~7 GFLOP).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cotr_tpu.ops.canvas import normalize_canvas
+from cotr_tpu.ops.sampling import crop_and_resize_matmul
+from cotr_tpu.utils.constants import MAX_SIZE
+
+SAFE_AREA = 0.5  # sparse_engine.py:297
+
+
+def patch_box_np(pos: np.ndarray, scale: float, h: int, w: int
+                 ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Vectorized numpy twin of refine.patch_box (get_patch_centered_at)."""
+    short = min(h, w)
+    size = float(int(short * np.clip(scale, 0.0, 1.0)) // 2 * 2)
+    half = size // 2
+    lu_x = np.clip(np.floor(pos[..., 0] - half), 0, w - size)
+    lu_y = np.clip(np.floor(pos[..., 1] - half), 0, h - size)
+    return lu_x, lu_y, size
+
+
+def form_squads(loc_from: np.ndarray, loc_to: np.ndarray, active: np.ndarray,
+                scale_from: float, scale_to: float,
+                hw_a: Tuple[int, int], hw_b: Tuple[int, int],
+                max_load: int, rng: np.random.RandomState
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy squad formation (form_grouped_batch, sparse_engine.py:339-369).
+
+    Returns (squad_of: (T,) int squad index or -1, pilots: (G,) task ids).
+    """
+    t = len(loc_from)
+    squad_of = np.full(t, -1, int)
+    ids = np.where(active)[0]
+    order = ids[rng.permutation(len(ids))]
+    free = np.zeros(t, bool)
+    free[ids] = True
+
+    x0f, y0f, sf = patch_box_np(loc_from, scale_from, *hw_a)
+    x0t, y0t, st = patch_box_np(loc_to, scale_to, *hw_b)
+    cf_x, cf_y = x0f + sf / 2, y0f + sf / 2
+    ct_x, ct_y = x0t + st / 2, y0t + st / 2
+
+    pilots = []
+    for pid in order:
+        if not free[pid]:
+            continue
+        g = len(pilots)
+        pilots.append(pid)
+        half_f = sf / 2 * SAFE_AREA
+        half_t = st / 2 * SAFE_AREA
+        inside = (free &
+                  (np.abs(loc_from[:, 0] - cf_x[pid]) < half_f) &
+                  (np.abs(loc_from[:, 1] - cf_y[pid]) < half_f) &
+                  (np.abs(loc_to[:, 0] - ct_x[pid]) < half_t) &
+                  (np.abs(loc_to[:, 1] - ct_y[pid]) < half_t))
+        inside[pid] = True
+        members = np.where(inside)[0][:max_load]
+        squad_of[members] = g
+        free[members] = False
+    return squad_of, np.asarray(pilots, int)
+
+
+class GroupedStepper:
+    """Compiled device step: (G pilot boxes, (G, M) queries) -> predictions."""
+
+    def __init__(self, runner, crop_dtype=jnp.float32):
+        self.runner = runner
+        model = runner.model
+
+        def step(params, img_a, img_b, boxes_from, boxes_to, queries):
+            crops_a = crop_and_resize_matmul(img_a, boxes_from, MAX_SIZE,
+                                             compute_dtype=crop_dtype)
+            crops_b = crop_and_resize_matmul(img_b, boxes_to, MAX_SIZE,
+                                             compute_dtype=crop_dtype)
+            canvas = normalize_canvas(
+                jnp.concatenate([crops_a, crops_b], axis=2))
+            memory = model.apply(params, canvas, method="encode")
+            return model.apply(params, memory, queries, method="decode")
+
+        self._step = jax.jit(step)
+
+    def __call__(self, img_a, img_b, boxes_from, boxes_to, queries):
+        return np.asarray(self._step(
+            self.runner.params, img_a, img_b,
+            jnp.asarray(boxes_from, jnp.float32),
+            jnp.asarray(boxes_to, jnp.float32),
+            jnp.asarray(queries, jnp.float32)))
+
+
+def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a, img_b_dev, hw_b,
+                   loc_from: np.ndarray, loc_to0: np.ndarray,
+                   s_from: float, s_to: float, zoom_ins: Sequence[float],
+                   rng: np.random.RandomState,
+                   max_load: int = 256, group_bucket: int = 8,
+                   member_bucket: int = 64) -> np.ndarray:
+    """Zoom-major grouped refinement over all tasks.
+
+    Returns loc_to history (Z, T, 2). Group/member counts are padded up to
+    buckets to bound recompilation.
+    """
+    t = len(loc_from)
+    loc_to = loc_to0.astype(np.float64).copy()
+    history = []
+    h_a, w_a = hw_a
+    h_b, w_b = hw_b
+
+    for zoom in zoom_ins:
+        scale_f, scale_t = s_from * zoom, s_to * zoom
+        squad_of, pilots = form_squads(
+            loc_from, loc_to, np.ones(t, bool), scale_f, scale_t,
+            (h_a, w_a), (h_b, w_b), max_load, rng)
+        g = len(pilots)
+        x0f, y0f, sf = patch_box_np(loc_from[pilots], scale_f, h_a, w_a)
+        x0t, y0t, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
+
+        # member queries normalized into their squad's source patch
+        # (get_task_pilot, refinement_task.py:71-85)
+        m_max = max(int(np.bincount(squad_of[squad_of >= 0]).max()), 1)
+        m_pad = -(-m_max // member_bucket) * member_bucket
+        g_pad = -(-g // group_bucket) * group_bucket
+
+        queries = np.zeros((g_pad, m_pad, 2), np.float32)
+        member_ids = np.full((g_pad, m_pad), -1, int)
+        for gi in range(g):
+            members = np.where(squad_of == gi)[0]
+            qx = (loc_from[members, 0] - x0f[gi]) / (2 * sf)
+            qy = (loc_from[members, 1] - y0f[gi]) / sf
+            queries[gi, :len(members), 0] = qx
+            queries[gi, :len(members), 1] = qy
+            member_ids[gi, :len(members)] = members
+
+        boxes_from = np.zeros((g_pad, 4), np.float32)
+        boxes_to = np.zeros((g_pad, 4), np.float32)
+        boxes_from[:g] = np.stack([x0f, y0f,
+                                   np.full(g, sf), np.full(g, sf)], axis=1)
+        boxes_to[:g] = np.stack([x0t, y0t,
+                                 np.full(g, st), np.full(g, st)], axis=1)
+        boxes_from[g:, 2:] = 2.0  # degenerate but valid boxes for padding
+        boxes_to[g:, 2:] = 2.0
+
+        preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to, queries)
+
+        # denormalize through the squad's target patch
+        for gi in range(g):
+            sel = member_ids[gi] >= 0
+            members = member_ids[gi][sel]
+            p = preds[gi][sel]
+            loc_to[members, 0] = (p[:, 0] - 0.5) * 2 * st + x0t[gi]
+            loc_to[members, 1] = p[:, 1] * st + y0t[gi]
+        history.append(loc_to.copy())
+
+    return np.stack(history, axis=0)

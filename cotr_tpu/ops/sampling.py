@@ -130,6 +130,61 @@ def crop_and_resize(image: jnp.ndarray, boxes: jnp.ndarray,
     return jax.vmap(one)(boxes)
 
 
+def _pil_axis_weights(starts: jnp.ndarray, sizes: jnp.ndarray,
+                      in_extent: int, out_size: int,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """Per-box separable PIL-BILINEAR interpolation matrix (G, out, in).
+
+    Exactly PIL's triangle filter on a crop [start, start+size) resized to
+    out_size: filter scale = max(size/out, 1) (anti-aliasing on downscale),
+    window clipped to the crop, weights renormalized over the clipped
+    support. starts/sizes are integer-valued floats (reference patches are
+    integer-aligned, inference_helper.py:78-102).
+    """
+    scale = sizes / out_size  # (G,)
+    filt = jnp.maximum(scale, 1.0)
+    centers = (starts[:, None] +
+               (jnp.arange(out_size, dtype=dtype)[None] + 0.5) * scale[:, None])
+    ys = jnp.arange(in_extent, dtype=dtype)  # pixel centers at y + 0.5
+    d = jnp.abs(ys[None, None, :] + 0.5 - centers[..., None]) / \
+        filt[:, None, None]
+    w = jnp.maximum(0.0, 1.0 - d)
+    inbox = ((ys[None, :] >= starts[:, None]) &
+             (ys[None, :] <= starts[:, None] + sizes[:, None] - 1))
+    w = w * inbox[:, None, :]
+    return w / jnp.maximum(w.sum(-1, keepdims=True), 1e-8)
+
+
+def crop_and_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray,
+                           out_size: int,
+                           compute_dtype=jnp.float32) -> jnp.ndarray:
+    """PIL-parity anti-aliased crop-and-resize as two dense matmuls (MXU).
+
+    The separable triangle filter makes resampling a pair of interpolation-
+    matrix products: out[g] = Wy[g] @ img @ Wx[g]^T per channel. On TPU this
+    replaces millions of scalar gathers with einsums that run on the systolic
+    array — the hot op of the zoom engine (SURVEY.md §7 "on-device crop
+    gather ... the performance crux").
+
+    image: (H, W, C); boxes: (G, 4) integer-valued (x0, y0, w, h).
+    Returns (G, out_size, out_size, C) in float32.
+    """
+    image = jnp.asarray(image)
+    h, w = image.shape[0], image.shape[1]
+    wy = _pil_axis_weights(boxes[:, 1], boxes[:, 3], h, out_size)  # (G,o,H)
+    wx = _pil_axis_weights(boxes[:, 0], boxes[:, 2], w, out_size)  # (G,o,W)
+    img = image.astype(compute_dtype)
+    wy = wy.astype(compute_dtype)
+    wx = wx.astype(compute_dtype)
+    tmp = jnp.einsum("giy,yxc->gixc", wy, img,
+                     precision=jax.lax.Precision.HIGHEST
+                     if compute_dtype == jnp.float32 else None)
+    out = jnp.einsum("gjx,gixc->gijc", wx, tmp,
+                     precision=jax.lax.Precision.HIGHEST
+                     if compute_dtype == jnp.float32 else None)
+    return out.astype(jnp.float32)
+
+
 def pyramid_levels(h: int, w: int, max_levels: int = 5) -> List[Tuple[int, int]]:
     """Shapes of the 2x mip chain starting at (h, w)."""
     shapes = [(h, w)]
@@ -151,6 +206,49 @@ def build_pyramid(image: jnp.ndarray, max_levels: int = 5) -> List[jnp.ndarray]:
         half = prev[:ph, :pw].reshape(ph // 2, 2, pw // 2, 2, -1).mean(axis=(1, 3))
         levels.append(half)
     return levels
+
+
+def crop_and_resize_level(pyramid: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                          out_size: int, level: jnp.ndarray) -> jnp.ndarray:
+    """Anti-aliased crop-and-resize where ALL boxes share one mip level.
+
+    ``level`` is a traced scalar (int32); ``lax.switch`` executes exactly one
+    per-level sampling branch at runtime. This is the fast path for the zoom
+    engine: within a zoom step every task's patch has the same size, so the
+    mip level is shared — sampling one level costs 1x the output gather
+    bandwidth instead of the per-box variant's num_levels x.
+
+    boxes: (N, 4) (x0, y0, w, h) in level-0 pixels.
+    """
+    idx = (jnp.arange(out_size, dtype=pyramid[0].dtype) + 0.5) / out_size
+
+    def make_branch(l):
+        def branch(bx):
+            inv = 0.5 ** l
+
+            def one(box):
+                x0, y0, bw, bh = (box[0] * inv, box[1] * inv,
+                                  box[2] * inv, box[3] * inv)
+                xs = jnp.clip(x0 + idx * bw - 0.5, x0, x0 + bw - 1)
+                ys = jnp.clip(y0 + idx * bh - 0.5, y0, y0 + bh - 1)
+                gx, gy = jnp.meshgrid(xs, ys)
+                return _gather_bilinear(pyramid[l], gx, gy,
+                                        zero_outside=False)
+
+            return jax.vmap(one)(bx)
+
+        return branch
+
+    level = jnp.clip(level, 0, len(pyramid) - 1)
+    return jax.lax.switch(level, [make_branch(l) for l in range(len(pyramid))],
+                          boxes)
+
+
+def mip_level_for(box_size, out_size: int, num_levels: int) -> jnp.ndarray:
+    """Mip level whose downscale factor best matches box_size -> out_size."""
+    scale = box_size / out_size
+    lvl = jnp.floor(jnp.log2(jnp.maximum(scale, 1.0)))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
 def crop_and_resize_pyramid(pyramid: Sequence[jnp.ndarray], boxes: jnp.ndarray,

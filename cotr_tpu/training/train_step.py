@@ -1,0 +1,91 @@
+"""Data-parallel training step under jit.
+
+Equivalent of the reference's ``train_batch`` inner loop
+(cotr_trainer.py:121-154) — forward + cycle forward + backward + Adam — but
+compiled once and sharded over the ``data`` mesh axis: the batch is split
+across chips, parameters are replicated, and XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from cotr_tpu.config import TrainConfig
+from cotr_tpu.parallel.mesh import batch_sharding, replicated
+from cotr_tpu.training.loss import cotr_loss
+from cotr_tpu.training.optim import build_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(model, cfg: TrainConfig, rng,
+                       sample_batch: Dict[str, jnp.ndarray]
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = model.init(rng, sample_batch["image"][:1],
+                        sample_batch["queries"][:1])
+    tx = build_optimizer(cfg, params["params"])
+    opt_state = tx.init(params["params"])
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
+
+
+def make_train_step(model, tx, cfg: TrainConfig,
+                    mesh: Optional[Mesh] = None):
+    """Returns train_step(state, batch, dropout_rng) -> (state, metrics).
+
+    batch: {'image': (B, 256, 512, 3), 'queries': (B, Q, 2),
+            'targets': (B, Q, 2)}; with a mesh, B is sharded across 'data'.
+    """
+
+    def loss_fn(p, batch, rng):
+        loss, metrics = cotr_loss(
+            model, {"params": p}, batch["image"], batch["queries"],
+            batch["targets"], cycle_consis=cfg.cycle_consis,
+            bidirectional=cfg.bidirectional, train=True,
+            rngs={"dropout": rng})
+        return loss, metrics
+
+    def step_fn(state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["params"], batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state,
+                                     state.params["params"])
+        new_params = optax.apply_updates(state.params["params"], updates)
+        new_state = TrainState(state.step + 1, {"params": new_params}, new_opt)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    # prefix pytrees: whole state replicated, batch sharded on its leading axis
+    return jax.jit(
+        step_fn,
+        in_shardings=(TrainState(repl, repl, repl),
+                      {"image": bsh, "queries": bsh, "targets": bsh}, repl),
+        out_shardings=(TrainState(repl, repl, repl),
+                       {"loss": repl, "corr_loss": repl, "cycle_loss": repl}),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None):
+    def eval_fn(params, batch):
+        loss, metrics = cotr_loss(
+            model, params, batch["image"], batch["queries"], batch["targets"],
+            cycle_consis=False, bidirectional=cfg.bidirectional, train=False)
+        pred = model.apply(params, batch["image"], batch["queries"])
+        return {"val_loss": jnp.mean((pred - batch["targets"]) ** 2),
+                "pred": pred}
+
+    return jax.jit(eval_fn)

@@ -1,0 +1,130 @@
+// cotr_native: C++ data-path kernels for the cotr_tpu framework.
+//
+// The reference feeds its GPU from torch DataLoader workers running the full
+// geometric supervision pipeline in Python/numpy per sample
+// (SURVEY.md §3.1: depth->3D->2D reprojection + occlusion check is the
+// CPU-bound stage). Here those inner loops are native:
+//
+//   * synth_corrs — depth-consistent correspondence synthesis between two
+//     RGBD captures (the hot loop of COTR/datasets/cotr_dataset.py:138-167);
+//   * count_valid_depth / lift_project — building blocks exposed separately;
+//   * parse_images_txt — COLMAP images.txt parsing (large ASCII files;
+//     reference colmap_helper.py:117-162).
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this toolchain).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Correspondence synthesis.
+//
+// from_depth: (h1, w1) row-major float32, >0 marks valid pixels
+// inv_k_from: 3x3 row-major inverse intrinsics of the source camera
+// c2w_from:   4x4 row-major camera-to-world of the source camera
+// p_to:       3x4 row-major K_to @ world-to-camera of the target camera
+// to_depth:   (h2, w2) float32 depth of the target camera
+// out:        caller-allocated (max_out, 4) float32 [x_from, y_from, x_to, y_to]
+// Returns number of correspondences written.
+//
+// Semantics mirror compute_corrs exactly: scan pixels row-major (np.where
+// order), lift with z>0, transform to world, project with z_cam>0, crop to
+// 0 <= x < w2-1 and 0 <= y < h2-1, occlusion check
+// |depth_to[floor(y), floor(x)] - z_proj| < 0.5.
+int64_t synth_corrs(const float* from_depth, int64_t h1, int64_t w1,
+                    const double* inv_k_from, const double* c2w_from,
+                    const double* p_to, const float* to_depth,
+                    int64_t h2, int64_t w2, float* out, int64_t max_out) {
+  int64_t n = 0;
+  for (int64_t y = 0; y < h1 && n < max_out; ++y) {
+    for (int64_t x = 0; x < w1 && n < max_out; ++x) {
+      const float z = from_depth[y * w1 + x];
+      if (z <= 0.0f) continue;
+      // lift: cam = inv_K @ [x, y, 1] * z
+      const double px = static_cast<double>(x);
+      const double py = static_cast<double>(y);
+      double cx = (inv_k_from[0] * px + inv_k_from[1] * py + inv_k_from[2]) * z;
+      double cy = (inv_k_from[3] * px + inv_k_from[4] * py + inv_k_from[5]) * z;
+      double cz = (inv_k_from[6] * px + inv_k_from[7] * py + inv_k_from[8]) * z;
+      if (cz <= 0.0) continue;
+      // world = c2w @ [cx, cy, cz, 1]
+      double wx = c2w_from[0] * cx + c2w_from[1] * cy + c2w_from[2] * cz + c2w_from[3];
+      double wy = c2w_from[4] * cx + c2w_from[5] * cy + c2w_from[6] * cz + c2w_from[7];
+      double wz = c2w_from[8] * cx + c2w_from[9] * cy + c2w_from[10] * cz + c2w_from[11];
+      double ww = c2w_from[12] * cx + c2w_from[13] * cy + c2w_from[14] * cz + c2w_from[15];
+      if (ww == 0.0) continue;
+      wx /= ww; wy /= ww; wz /= ww;
+      // project: cam2 = P_to @ [w, 1]
+      const double ix = p_to[0] * wx + p_to[1] * wy + p_to[2] * wz + p_to[3];
+      const double iy = p_to[4] * wx + p_to[5] * wy + p_to[6] * wz + p_to[7];
+      const double iz = p_to[8] * wx + p_to[9] * wy + p_to[10] * wz + p_to[11];
+      if (iz <= 0.0) continue;
+      const double ux = ix / iz;
+      const double uy = iy / iz;
+      if (!(ux >= 0.0 && ux < static_cast<double>(w2 - 1) &&
+            uy >= 0.0 && uy < static_cast<double>(h2 - 1))) continue;
+      const int64_t fx = static_cast<int64_t>(ux);
+      const int64_t fy = static_cast<int64_t>(uy);
+      const float zt = to_depth[fy * w2 + fx];
+      if (std::fabs(static_cast<double>(zt) - iz) >= 0.5) continue;
+      out[n * 4 + 0] = static_cast<float>(x);
+      out[n * 4 + 1] = static_cast<float>(y);
+      out[n * 4 + 2] = static_cast<float>(ux);
+      out[n * 4 + 3] = static_cast<float>(uy);
+      ++n;
+    }
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// COLMAP images.txt parsing. Fills caller-allocated arrays:
+//   image_ids (n), camera_ids (n), qtvec (n, 7) [qw qx qy qz tx ty tz],
+//   names: flat char buffer, name_len bytes per entry (zero-padded).
+// Returns number of images parsed, or -1 on format error.
+int64_t parse_images_txt(const char* path, int64_t max_images,
+                         int64_t* image_ids, int64_t* camera_ids,
+                         double* qtvec, char* names, int64_t name_len) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return -1;
+  char line[65536];
+  // skip 4 header lines
+  for (int i = 0; i < 4; ++i) {
+    if (!std::fgets(line, sizeof(line), f)) { std::fclose(f); return -1; }
+  }
+  int64_t n = 0;
+  while (n < max_images && std::fgets(line, sizeof(line), f)) {
+    long long iid, cid;
+    double qw, qx, qy, qz, tx, ty, tz;
+    char name[4096];
+    int got = std::sscanf(line, "%lld %lf %lf %lf %lf %lf %lf %lf %lld %4095s",
+                          &iid, &qw, &qx, &qy, &qz, &tx, &ty, &tz, &cid, name);
+    if (got != 10) break;  // end of data
+    // skip the POINTS2D line
+    if (!std::fgets(line, sizeof(line), f)) { }
+    image_ids[n] = iid;
+    camera_ids[n] = cid;
+    double* q = qtvec + n * 7;
+    q[0] = qw; q[1] = qx; q[2] = qy; q[3] = qz; q[4] = tx; q[5] = ty; q[6] = tz;
+    std::strncpy(names + n * name_len, name, name_len - 1);
+    names[n * name_len + name_len - 1] = '\0';
+    ++n;
+  }
+  std::fclose(f);
+  return n;
+}
+
+// Valid-depth pixel count (for pre-sizing buffers host-side).
+int64_t count_valid_depth(const float* depth, int64_t h, int64_t w) {
+  int64_t n = 0;
+  const int64_t total = h * w;
+  for (int64_t i = 0; i < total; ++i) n += depth[i] > 0.0f;
+  return n;
+}
+
+}  // extern "C"

@@ -3,8 +3,11 @@ compilation cache so ResNet compiles only once across test runs."""
 
 import os
 
-# Force CPU: the ambient environment may point JAX at a TPU backend
-# (JAX_PLATFORMS=axon); tests must run on the virtual 8-device CPU mesh.
+# Force CPU with 8 virtual devices. NOTE: this environment's
+# sitecustomize.py imports jax at interpreter startup and registers the
+# axon (TPU) backend, so jax's config has already captured
+# JAX_PLATFORMS=axon before this file runs — we must update the LIVE
+# config, not just the env var.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -13,9 +16,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.devices()[0].platform == "cpu", (
+    f"tests must run on CPU, got {jax.devices()}")
+assert len(jax.devices()) >= 8, (
+    "expected 8 virtual CPU devices; XLA_FLAGS was captured too early: "
+    f"{os.environ.get('XLA_FLAGS')}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,196 @@
+"""Inference-engine integration tests with an identity stub model.
+
+The stub maps every query to the same relative position in the other canvas
+half (x -> x +/- 0.5). Under this model the TRUE correspondence between two
+equal-size images is the identity, which exercises every piece of coordinate
+plumbing — dense grid decode, cycle confidence, seed lookup, patch boxes,
+query normalization, prediction denormalization, zoom recursion, filters —
+with an analytically known answer: refined loc_to == loc_from.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cotr_tpu.inference import (BatchRefiner, ModelRunner, SparseEngine,
+                                dense_pass, patch_box)
+
+
+class IdentityStubModel:
+    """model.apply-compatible stub: decode(q) swaps canvas halves."""
+
+    @staticmethod
+    def _map(queries):
+        x = queries[..., 0]
+        x2 = jnp.where(x < 0.5, x + 0.5, x - 0.5)
+        return jnp.stack([x2, queries[..., 1]], axis=-1)
+
+    def apply(self, params, *args, method=None, **kwargs):
+        if method == "encode":
+            canvas = args[0]
+            return jnp.zeros((canvas.shape[0], 512, 256), jnp.float32)
+        if method == "decode":
+            _mem, queries = args
+            return self._map(queries)
+        _canvas, queries = args
+        return self._map(queries)
+
+
+@pytest.fixture(scope="module")
+def stub_runner():
+    return ModelRunner(IdentityStubModel(), params={}, decode_chunk=16384)
+
+
+def test_patch_box_matches_reference_semantics():
+    """patch_box vs a direct transcription of get_patch_centered_at
+    (inference_helper.py:78-102)."""
+    rng = np.random.RandomState(0)
+    h, w = 480, 640
+    for _ in range(50):
+        pos = rng.uniform(-10, 700, 2)
+        scale = rng.uniform(0.05, 1.2)
+        # reference math
+        short = min(h, w)
+        size = int((short * np.clip(scale, 0.0, 1.0)) // 2 * 2)
+        lu_y = int(pos[1] - size // 2)
+        lu_x = int(pos[0] - size // 2)
+        lu_y = max(lu_y, 0)
+        lu_x = max(lu_x, 0)
+        if lu_y + size > h:
+            lu_y -= (lu_y + size) - h
+        if lu_x + size > w:
+            lu_x -= (lu_x + size) - w
+        x0, y0, sz = patch_box(jnp.asarray(pos, jnp.float32)[None],
+                               jnp.float32(scale),
+                               jnp.asarray(h), jnp.asarray(w))
+        # int() truncation vs floor differ only for fractional negatives that
+        # clamp to 0 anyway; interior positions must match exactly
+        assert int(sz) == size
+        assert int(np.asarray(x0)[0]) == lu_x, (pos, scale)
+        assert int(np.asarray(y0)[0]) == lu_y, (pos, scale)
+
+
+def test_dense_pass_identity_stub(stub_runner):
+    """Under the identity stub the dense flow is the identity and confidence
+    is ~0 everywhere."""
+    img = np.zeros((256, 256, 3), np.float32)
+    corr_a, corr_b = dense_pass(stub_runner, img, img)
+    assert corr_a.shape == (256, 256, 3)
+    # Cycle confidence carries an inherent ~0.004 half-pixel bias from
+    # grid_sample's align_corners=False mapping (the reference shares it —
+    # hence THRESHOLD_SPARSE=0.02); borders are legitimately unreliable.
+    interior = corr_a[2:-2, 2:-2]
+    assert interior[..., 2].max() < 0.02
+    # flow maps pixel (x, y) to the same [-1, 1] position in image b
+    ys, xs = np.mgrid[0:256, 0:256]
+    expect_x = (xs / 256.0) * 2 - 1
+    expect_y = (ys / 256.0) * 2 - 1
+    np.testing.assert_allclose(interior[..., 0], expect_x[2:-2, 2:-2], atol=1e-4)
+    np.testing.assert_allclose(interior[..., 1], expect_y[2:-2, 2:-2], atol=1e-4)
+
+
+def _stub_expected_step(loc_from, loc_to, scale_f, scale_t, h, w):
+    """Analytic prediction of one refinement step under the identity stub:
+    pred keeps the query's patch-relative position, so
+    new = loc_from * st/sf + (x0t - x0f * st/sf)."""
+    from cotr_tpu.inference.grouped import patch_box_np
+
+    x0f, y0f, sf = patch_box_np(loc_from, scale_f, h, w)
+    x0t, y0t, st = patch_box_np(loc_to, scale_t, h, w)
+    qx = (loc_from[:, 0] - x0f) / (2 * sf)
+    qy = (loc_from[:, 1] - y0f) / sf
+    return np.stack([qx * 2 * st + x0t, qy * st + y0t], axis=-1)
+
+
+def test_refiner_matches_analytic_box_math(stub_runner):
+    """The device scan must reproduce the host-side transcription of the
+    box/query/denormalization math exactly (sub-pixel)."""
+    refiner = BatchRefiner(stub_runner, bucket=256)
+    img = np.random.RandomState(0).uniform(0, 1, (512, 512, 3)).astype(np.float32)
+    pyr, hw = refiner.build_pyramid(img)
+    loc_from = np.array([[100.0, 200.0], [400.0, 50.0], [256.0, 256.0]])
+    loc_to0 = loc_from + np.array([5.0, -3.0])  # seed slightly off
+    zooms = [0.5, 0.25, 0.0625]
+    hist = refiner.refine(pyr, hw, pyr, hw, loc_from, loc_to0,
+                          s_from=1.0, s_to=1.0, zoom_ins=zooms)
+    assert hist.shape == (3, 3, 2)
+    expect = loc_to0.copy()
+    for i, z in enumerate(zooms):
+        expect = _stub_expected_step(loc_from, expect, z, z, 512, 512)
+        np.testing.assert_allclose(hist[i], expect, atol=0.02, rtol=0)
+
+
+def test_refiner_exact_seed_is_fixed_point(stub_runner):
+    """A perfectly seeded task must stay put through every zoom level."""
+    refiner = BatchRefiner(stub_runner, bucket=256)
+    img = np.random.RandomState(1).uniform(0, 1, (512, 512, 3)).astype(np.float32)
+    pyr, hw = refiner.build_pyramid(img)
+    loc = np.array([[100.0, 200.0], [400.0, 50.0], [256.0, 256.0]])
+    hist = refiner.refine(pyr, hw, pyr, hw, loc, loc.copy(),
+                          s_from=1.0, s_to=1.0, zoom_ins=[0.5, 0.25, 0.0625])
+    for i in range(hist.shape[0]):
+        np.testing.assert_allclose(hist[i], loc, atol=0.02)
+
+
+def test_engine_end_to_end_identity(stub_runner):
+    """Full engine pass: seeds from the dense field, refines, filters."""
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    rng = np.random.RandomState(1)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    queries = rng.uniform(20, 490, (32, 2))
+    corrs, idx = eng.cotr_corr_multiscale(
+        img, img, zoom_ins=[0.5, 0.25], max_corrs=32, queries_a=queries,
+        force=True, return_idx=True)
+    assert corrs.shape[0] == 32
+    # The dense seed grid carries the reference's inherent half-pixel bias
+    # (queries at pixel edges, inference_helper.py:117-121) and the
+    # patch-relative stub preserves seed offsets through floor-quantized
+    # boxes -> up to ~1px. Real coordinate bugs show as >>1px shifts.
+    np.testing.assert_allclose(corrs[:, 2:], corrs[:, :2], atol=1.5)
+    # identifiers preserved
+    np.testing.assert_array_equal(np.sort(idx), np.arange(32))
+
+
+def test_engine_cycle_consistency_wrapper(stub_runner):
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    rng = np.random.RandomState(2)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    queries = rng.uniform(20, 490, (40, 2))
+    corrs, cyc = eng.cotr_corr_multiscale_with_cycle_consistency(
+        img, img, zoom_ins=[0.5, 0.25], max_corrs=10, queries_a=queries,
+        return_cycle_error=True)
+    assert corrs.shape[0] == 10
+    assert (cyc < 2.5).all()
+    np.testing.assert_allclose(corrs[:, 2:], corrs[:, :2], atol=1.5)
+
+
+def test_corr_base_identity(stub_runner):
+    eng = SparseEngine(stub_runner, mode="tile")
+    img = np.zeros((300, 300, 3), np.uint8)
+    queries = np.array([[50.0, 60.0], [200.0, 150.0]])
+    out = eng.corr_base(img, img, queries)
+    assert out.shape == (2, 4)
+    np.testing.assert_allclose(out[:, 2:], queries, atol=1.0)
+
+
+def test_grouped_engine_identity(stub_runner):
+    """FasterSparseEngine squad path must also recover the identity."""
+    from cotr_tpu.inference.engine import FasterSparseEngine
+    eng = FasterSparseEngine(stub_runner, mode="tile", task_bucket=64,
+                             max_load=64)
+    rng = np.random.RandomState(4)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    queries = rng.uniform(30, 480, (48, 2))
+    corrs, idx = eng.cotr_corr_multiscale(
+        img, img, zoom_ins=[0.5, 0.25], max_corrs=48, queries_a=queries,
+        force=True, return_idx=True)
+    assert corrs.shape[0] == 48
+    np.testing.assert_allclose(corrs[:, 2:], corrs[:, :2], atol=1.5)
+
+
+def test_runner_decode_chunked_matches_decode(stub_runner):
+    mem = jnp.zeros((1, 512, 256))
+    q = np.random.RandomState(3).uniform(0, 1, (1, 1000, 2)).astype(np.float32)
+    a = np.asarray(stub_runner.decode(mem, q))
+    b = np.asarray(stub_runner.decode_chunked(mem, q))
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -1,0 +1,109 @@
+"""C++ data-path library vs the Python reference implementations."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from cotr_tpu import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _fake_captures():
+    """Two synthetic RGBD cameras looking at a textured plane."""
+    from cotr_tpu.geometry.camera import CameraPose, PinholeCamera
+
+    class Cap:
+        pass
+
+    rng = np.random.RandomState(0)
+    h, w = 48, 64
+    cam = PinholeCamera(w, h, 60.0, 60.0, w / 2, h / 2)
+
+    a = Cap()
+    a.pinhole_cam = cam
+    a.cam_pose = CameraPose.from_world_to_camera(np.eye(4))
+    a.depth_map = rng.uniform(2.0, 4.0, (h, w)).astype(np.float32)
+    a.depth_map[rng.rand(h, w) < 0.3] = 0.0  # holes
+    a.image = np.zeros((h, w, 3), np.uint8)
+
+    b = Cap()
+    b.pinhole_cam = cam
+    w2c = np.eye(4)
+    w2c[:3, 3] = [0.2, -0.1, 0.05]
+    b.cam_pose = CameraPose.from_world_to_camera(w2c)
+    # give b a generous depth so occlusion check passes for most points
+    b.depth_map = np.full((h, w), 3.0, np.float32)
+    b.image = np.zeros((h, w, 3), np.uint8)
+    return a, b
+
+
+def test_synth_corrs_matches_python():
+    from cotr_tpu.data.dataset import compute_corrs
+
+    a, b = _fake_captures()
+    py = compute_corrs(a, b)
+    nat = native.synth_corrs(
+        a.depth_map,
+        np.linalg.inv(a.pinhole_cam.intrinsic_mat),
+        a.cam_pose.camera_to_world,
+        b.pinhole_cam.intrinsic_mat @ b.cam_pose.world_to_camera[0:3, :],
+        b.depth_map)
+    assert nat is not None
+    if py is None:
+        assert nat.shape[0] == 0
+        return
+    assert nat.shape == py.shape, (nat.shape, py.shape)
+    np.testing.assert_allclose(nat, py, atol=1e-4)
+
+
+def test_parse_images_txt_matches_python(tmp_path):
+    from cotr_tpu.data.colmap import read_images_meta
+
+    content = textwrap.dedent("""\
+        # Image list with two lines of data per image:
+        #   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME
+        #   POINTS2D[] as (X, Y, POINT3D_ID)
+        # Number of images: 2, mean observations per image: 1.5
+        7 0.9689 0.0296 -0.2090 -0.1281 2.5 0.1 1.5 1 img_a.jpg
+        1.0 2.0 -1 3.0 4.0 5
+        9 1.0 0.0 0.0 0.0 -1.0 0.0 0.25 2 sub/img_b.jpg
+        """)
+    p = tmp_path / "images.txt"
+    p.write_text(content)
+
+    out = native.parse_images_txt(str(p))
+    assert out is not None
+    ids, cam_ids, qt, names = out
+    assert list(ids) == [7, 9]
+    assert list(cam_ids) == [1, 2]
+    assert names == ["img_a.jpg", "sub/img_b.jpg"]
+    np.testing.assert_allclose(
+        qt[0], [0.9689, 0.0296, -0.2090, -0.1281, 2.5, 0.1, 1.5])
+
+    metas = read_images_meta(str(p), str(tmp_path), require_files=False)
+    assert sorted(metas.keys()) == [7, 9]
+    np.testing.assert_allclose(metas[7].t.translation_vector, [2.5, 0.1, 1.5])
+
+
+def test_synth_corrs_perf_sanity():
+    """The native loop should chew a 480x640 depth map in well under 100ms."""
+    import time
+
+    a, b = _fake_captures()
+    a.depth_map = np.tile(a.depth_map, (10, 10))[:480, :640]
+    b.depth_map = np.full((480, 640), 3.0, np.float32)
+    t0 = time.time()
+    out = native.synth_corrs(
+        a.depth_map,
+        np.linalg.inv(a.pinhole_cam.intrinsic_mat),
+        a.cam_pose.camera_to_world,
+        b.pinhole_cam.intrinsic_mat @ b.cam_pose.world_to_camera[0:3, :],
+        b.depth_map)
+    dt = time.time() - t0
+    assert out is not None
+    assert dt < 0.5, f"native synth too slow: {dt:.3f}s"
