@@ -233,7 +233,9 @@ class BasePinholeCapture:
 
 class RGBPinholeCapture(BasePinholeCapture):
     def __init__(self, img_path, pinhole_cam, cam_pose, crop_cam):
-        super().__init__(pinhole_cam, cam_pose, crop_cam)
+        # explicit base call: RGBDPinholeCapture diamond-inherits this class
+        # and DepthPinholeCapture, so super() would hit the sibling
+        BasePinholeCapture.__init__(self, pinhole_cam, cam_pose, crop_cam)
         self.captured_image = CapturedImage(img_path, crop_cam,
                                             self.pinhole_cam_before)
 
@@ -257,7 +259,7 @@ class RGBPinholeCapture(BasePinholeCapture):
 
 class DepthPinholeCapture(BasePinholeCapture):
     def __init__(self, depth_path, pinhole_cam, cam_pose, crop_cam):
-        super().__init__(pinhole_cam, cam_pose, crop_cam)
+        BasePinholeCapture.__init__(self, pinhole_cam, cam_pose, crop_cam)
         self.captured_depth = CapturedDepth(depth_path, crop_cam,
                                             self.pinhole_cam_before)
 

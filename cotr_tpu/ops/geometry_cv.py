@@ -92,7 +92,10 @@ def eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     u, s, v = jnp.linalg.svd(f)
     f = (u * s.at[2].set(0.0)) @ v
     f = t2.T @ f @ t1
-    return f / jnp.where(jnp.abs(f[2, 2]) > 1e-12, f[2, 2], 1.0)
+    # normalize by Frobenius norm — f[2,2] can be geometrically zero
+    # (e.g. pure-translation motion), and Sampson distance is
+    # scale-invariant anyway
+    return f / jnp.maximum(jnp.linalg.norm(f), 1e-12)
 
 
 def _sampson_dist(f: jnp.ndarray, p1: jnp.ndarray,

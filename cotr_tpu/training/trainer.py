@@ -41,8 +41,14 @@ class Trainer:
         self.cfg = train_cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
-        self.mesh = mesh if mesh is not None else make_mesh(
-            train_cfg.num_devices)
+        if mesh is not None:
+            self.mesh = mesh
+        else:
+            ndev = train_cfg.num_devices or len(jax.devices())
+            # the data axis must divide the global batch
+            while train_cfg.batch_size % ndev:
+                ndev -= 1
+            self.mesh = make_mesh(ndev)
         self.out_dir = out_dir or os.path.join(
             train_cfg.out_dir, compact_name(model_cfg, train_cfg))
         os.makedirs(self.out_dir, exist_ok=True)
@@ -124,12 +130,13 @@ class Trainer:
             return float("nan")
         losses = []
         for batch in self.val_loader():
+            batch = {k: batch[k] for k in ("image", "queries", "targets")}
             batch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
             out = self._eval_step(self.state.params, batch)
             losses.append(float(out["val_loss"]))
         val = float(np.mean(losses)) if losses else float("nan")
-        if self._tb is not None:
+        if self._tb is not None and np.isfinite(val):
             self._tb.add_scalar("loss/val", val, int(self.state.step))
         return val
 
@@ -145,6 +152,7 @@ class Trainer:
                 if step >= self.cfg.max_iter:
                     break
                 rng, sub = jax.random.split(rng)
+                batch = {k: batch[k] for k in ("image", "queries", "targets")}
                 batch = shard_batch(
                     jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 self.state, metrics = self._train_step(self.state, batch, sub)

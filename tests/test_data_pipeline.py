@@ -1,0 +1,156 @@
+"""End-to-end data pipeline on a synthetic COLMAP scene: ASCII parsing,
+scene/kNN construction, supervision synthesis, batching, and a short
+training run with checkpoint save/restore."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import PIL.Image
+import pytest
+
+from cotr_tpu.data import (ColmapWithDepthAsciiReader, CotrDataset, DataConfig,
+                           batch_iterator)
+
+
+@pytest.fixture(scope="module")
+def synthetic_scene(tmp_path_factory):
+    """Two cameras viewing a textured plane at z=3, slight baseline."""
+    root = tmp_path_factory.mktemp("megadepth")
+    scene_dir = root / "0001" / "dense" / "sparse"
+    img_dir = root / "0001" / "dense" / "imgs"
+    depth_dir = root / "0001" / "dense" / "depths"
+    dm_dir = root / "0001" / "dense" / "dist_mat"
+    for d in (scene_dir, img_dir, depth_dir, dm_dir):
+        d.mkdir(parents=True)
+
+    rng = np.random.RandomState(0)
+    h, w = 48, 64
+    names = ["img_a.jpg", "img_b.jpg", "img_c.jpg"]
+    for name in names:
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        PIL.Image.fromarray(img).save(img_dir / name)
+        depth = np.full((h, w), 3.0, np.float32)
+        with h5py.File(depth_dir / (os.path.splitext(name)[0] + ".h5"),
+                       "w") as f:
+            f.create_dataset("depth", data=depth)
+
+    (scene_dir / "cameras.txt").write_text(
+        "# Camera list with one line of data per camera:\n"
+        "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+        "# Number of cameras: 1\n"
+        f"1 PINHOLE {w} {h} 60.0 60.0 {w / 2} {h / 2}\n")
+
+    # three poses: identity and small x-translations
+    lines = [
+        "# Image list with two lines of data per image:\n",
+        "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n",
+        "#   POINTS2D[] as (X, Y, POINT3D_ID)\n",
+        "# Number of images: 3, mean observations per image: 0.0\n",
+    ]
+    for i, (name, tx) in enumerate(zip(names, [0.0, 0.15, -0.15])):
+        lines.append(f"{i + 1} 1.0 0.0 0.0 0.0 {tx} 0.0 0.0 1 {name}\n")
+        lines.append("\n")
+    (scene_dir / "images.txt").write_text("".join(lines))
+
+    rel = [f"0001/dense/imgs/{n}" for n in names]
+    valid_json = root / "valid_list.json"
+    valid_json.write_text(json.dumps(rel))
+    train_json = root / "train.json"
+    train_json.write_text(json.dumps(rel))
+    val_json = root / "val.json"
+    val_json.write_text(json.dumps(rel[:1]))
+
+    dist = np.array([[1.0, 0.8, 0.7], [0.8, 1.0, 0.6], [0.7, 0.6, 1.0]],
+                    np.float32)
+    np.save(dm_dir / "dist_mat.npy", dist)
+
+    return {
+        "root": root,
+        "cfg": DataConfig(
+            scenes_name_list=[{
+                "scene_dir": str(scene_dir),
+                "image_dir": str(img_dir),
+                "depth_dir": str(depth_dir),
+            }],
+            valid_list_json=str(valid_json),
+            train_json=str(train_json),
+            val_json=str(val_json),
+            test_json=str(val_json),
+            crop_cam="crop_center_and_resize",
+            num_kp=10,
+        ),
+    }
+
+
+def test_colmap_scene_parses(synthetic_scene):
+    cfg = synthetic_scene["cfg"]
+    sdd = cfg.scenes_name_list[0]
+    scene = ColmapWithDepthAsciiReader.read_sfm_scene_given_valid_list_path(
+        sdd["scene_dir"], sdd["image_dir"], sdd["depth_dir"],
+        cfg.valid_list_json, "no_crop")
+    assert len(scene) == 3
+    cap = scene[0]
+    assert cap.image.shape == (48, 64, 3)
+    assert cap.depth_map.shape == (48, 64)
+    assert (cap.depth_map == 3.0).all()
+
+
+def test_dataset_sample_shapes_and_ranges(synthetic_scene):
+    ds = CotrDataset(synthetic_scene["cfg"], "train", seed=0)
+    assert len(ds) == 3
+    sample = ds[0]
+    assert sample["image"].shape == (256, 512, 3)
+    assert sample["queries"].shape == (20, 2)  # bidirectional doubling
+    assert sample["targets"].shape == (20, 2)
+    q = sample["queries"]
+    assert (q >= 0).all() and (q <= 1).all()
+    # first half queries are in the left image, second half in the right
+    assert (q[:10, 0] <= 0.5).all()
+    assert (q[10:, 0] >= 0.5).all()
+
+
+def test_batch_iterator_fixed_shapes(synthetic_scene):
+    ds = CotrDataset(synthetic_scene["cfg"], "train", seed=1)
+    batches = list(batch_iterator(ds, 2, seed=0))
+    assert len(batches) == 1  # 3 samples, bs 2, drop_last
+    b = batches[0]
+    assert b["image"].shape == (2, 256, 512, 3)
+    assert b["queries"].shape == (2, 20, 2)
+
+
+@pytest.mark.slow
+def test_trainer_short_run_and_checkpoint(synthetic_scene, tmp_path):
+    import jax
+
+    from cotr_tpu import COTRConfig, TrainConfig, build_model
+    from cotr_tpu.training import Trainer
+
+    model_cfg = COTRConfig(enc_layers=1, dec_layers=1)
+    train_cfg = TrainConfig(batch_size=2, max_iter=2, valid_iter=2,
+                            num_kp=10, learning_rate=1e-4)
+    model = build_model(model_cfg)
+    ds = CotrDataset(synthetic_scene["cfg"], "train", seed=2)
+    trainer = Trainer(
+        model, model_cfg, train_cfg,
+        train_loader=lambda: batch_iterator(ds, 2, seed=0),
+        val_loader=lambda: batch_iterator(ds, 2, shuffle=False, seed=0),
+        out_dir=str(tmp_path / "run"), use_tensorboard=False)
+    sample = next(batch_iterator(ds, 2, seed=0))
+    trainer.initialize(sample)
+    state = trainer.train()
+    assert int(state.step) == 2
+    assert os.path.exists(str(tmp_path / "run" / "checkpoints" / "checkpoint"))
+
+    # restore into a fresh trainer
+    trainer2 = Trainer(
+        model, model_cfg, train_cfg,
+        train_loader=lambda: batch_iterator(ds, 2, seed=0),
+        out_dir=str(tmp_path / "run"), use_tensorboard=False)
+    trainer2.initialize(sample)
+    assert trainer2.load_checkpoint()
+    assert int(trainer2.state.step) == 2
+    a = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
