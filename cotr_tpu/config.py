@@ -46,6 +46,9 @@ class COTRConfig:
     #: compute dtype for backbone+transformer ("float32" or "bfloat16");
     #: params are always float32, and the correspondence head always runs fp32.
     dtype: str = "float32"
+    #: use the fused Pallas cross-attention kernel (TPU only; inference /
+    #: zero-dropout paths). Falls back to the XLA einsum path otherwise.
+    use_flash_attention: bool = False
 
     @property
     def backbone_channels(self) -> int:

@@ -192,6 +192,9 @@ class SparseEngine:
                 lt = np.concatenate([lt, np.zeros((pad, 2))], axis=0)
             hist = self.refiner.refine(pyr_a, hw_a, pyr_b, hw_b, lf, lt,
                                        s_from, s_to, zoom_ins, converge_iters)
+            if np.isnan(hist).any():
+                raise ValueError(
+                    "NaN in refinement predictions (sparse_engine.py:54-55)")
             histories.append(hist[:, :n])
             self.total_tasks += n * hist.shape[0]
         history = np.concatenate(histories, axis=1)  # (Z, T, 2)

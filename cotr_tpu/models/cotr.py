@@ -77,6 +77,7 @@ class COTRModel(nn.Module):
             dim_feedforward=cfg.dim_feedforward,
             dropout=cfg.dropout,
             dtype=dtype,
+            use_flash=cfg.use_flash_attention,
         )
         self.corr_embed = CorrHead(cfg.hidden_dim)
 

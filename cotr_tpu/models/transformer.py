@@ -56,6 +56,7 @@ class MultiHeadAttention(nn.Module):
     nheads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -72,6 +73,17 @@ class MultiHeadAttention(nn.Module):
         qp = qp.reshape(b, lq, h, hd)
         kp = kp.reshape(b, lk, h, hd)
         vp = vp.reshape(b, lk, h, hd)
+
+        if (self.use_flash and key_padding_mask is None
+                and (deterministic or self.dropout == 0.0)
+                and jax.default_backend() == "tpu"):
+            # fused Pallas kernel: logits stay in VMEM
+            # (cotr_tpu/ops/pallas_attention.py)
+            from cotr_tpu.ops.pallas_attention import flash_cross_attention
+
+            out = flash_cross_attention(qp, kp, vp)
+            out = out.reshape(b, lq, self.d_model)
+            return _dense(self.d_model, self.dtype, "out_proj")(out)
 
         prec = matmul_precision(self.dtype)
         scale = 1.0 / np.sqrt(hd)
@@ -110,6 +122,7 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src: jnp.ndarray, pos: jnp.ndarray, *,
@@ -117,7 +130,8 @@ class EncoderLayer(nn.Module):
                  key_padding_mask: Optional[jnp.ndarray] = None):
         qk = src + pos
         attn = MultiHeadAttention(self.d_model, self.nheads, self.dropout,
-                                  self.dtype, name="self_attn")(
+                                  self.dtype, self.use_flash,
+                                  name="self_attn")(
             qk, qk, src, deterministic=deterministic,
             key_padding_mask=key_padding_mask)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -140,6 +154,7 @@ class DecoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
@@ -147,7 +162,8 @@ class DecoderLayer(nn.Module):
                  deterministic: bool = True,
                  key_padding_mask: Optional[jnp.ndarray] = None):
         attn = MultiHeadAttention(self.d_model, self.nheads, self.dropout,
-                                  self.dtype, name="cross_attn")(
+                                  self.dtype, self.use_flash,
+                                  name="cross_attn")(
             tgt + query_pos, memory + pos, memory,
             deterministic=deterministic, key_padding_mask=key_padding_mask)
         attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -178,15 +194,16 @@ class Transformer(nn.Module):
     dim_feedforward: int = 1024
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.encs = [EncoderLayer(self.d_model, self.nheads,
                                   self.dim_feedforward, self.dropout,
-                                  self.dtype, name=f"enc{i}")
+                                  self.dtype, self.use_flash, name=f"enc{i}")
                      for i in range(self.enc_layers)]
         self.decs = [DecoderLayer(self.d_model, self.nheads,
                                   self.dim_feedforward, self.dropout,
-                                  self.dtype, name=f"dec{i}")
+                                  self.dtype, self.use_flash, name=f"dec{i}")
                      for i in range(self.dec_layers)]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
