@@ -68,12 +68,15 @@ def make_train_step(model, tx, cfg: TrainConfig,
 
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
-    # prefix pytrees: whole state replicated, batch sharded on its leading axis
+    # State shardings are inherited from the caller's placement (replicated
+    # for pure DP via parallel.replicate; tensor-parallel for a 2D mesh via
+    # parallel.tp.transformer_param_shardings) — jit preserves them and
+    # GSPMD inserts the collectives. Only the batch layout is pinned here.
     return jax.jit(
         step_fn,
-        in_shardings=(TrainState(repl, repl, repl),
+        in_shardings=(None,
                       {"image": bsh, "queries": bsh, "targets": bsh}, repl),
-        out_shardings=(TrainState(repl, repl, repl),
+        out_shardings=(None,
                        {"loss": repl, "corr_loss": repl, "cycle_loss": repl}),
         donate_argnums=(0,),
     )
