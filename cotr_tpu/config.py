@@ -49,6 +49,10 @@ class COTRConfig:
     #: use the fused Pallas cross-attention kernel (TPU only; inference /
     #: zero-dropout paths). Falls back to the XLA einsum path otherwise.
     use_flash_attention: bool = False
+    #: rematerialize transformer layers in the backward pass (jax.checkpoint)
+    #: — trades ~30% extra forward FLOPs for O(layers) less activation HBM,
+    #: enabling larger training batches.
+    remat: bool = False
 
     @property
     def backbone_channels(self) -> int:

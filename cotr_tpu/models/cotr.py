@@ -78,6 +78,7 @@ class COTRModel(nn.Module):
             dropout=cfg.dropout,
             dtype=dtype,
             use_flash=cfg.use_flash_attention,
+            remat=cfg.remat,
         )
         self.corr_embed = CorrHead(cfg.hidden_dim)
 

@@ -195,15 +195,18 @@ class Transformer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False
 
     def setup(self):
-        self.encs = [EncoderLayer(self.d_model, self.nheads,
-                                  self.dim_feedforward, self.dropout,
-                                  self.dtype, self.use_flash, name=f"enc{i}")
+        enc_cls = nn.remat(EncoderLayer) if self.remat else EncoderLayer
+        dec_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        self.encs = [enc_cls(self.d_model, self.nheads,
+                             self.dim_feedforward, self.dropout,
+                             self.dtype, self.use_flash, name=f"enc{i}")
                      for i in range(self.enc_layers)]
-        self.decs = [DecoderLayer(self.d_model, self.nheads,
-                                  self.dim_feedforward, self.dropout,
-                                  self.dtype, self.use_flash, name=f"dec{i}")
+        self.decs = [dec_cls(self.d_model, self.nheads,
+                             self.dim_feedforward, self.dropout,
+                             self.dtype, self.use_flash, name=f"dec{i}")
                      for i in range(self.dec_layers)]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 

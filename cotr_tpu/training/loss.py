@@ -62,5 +62,6 @@ def cotr_loss(model, params, canvas, queries, targets, *,
         mask = jnp.linalg.norm(cycle - queries, axis=-1) < CYCLE_THRESH
         cycle_loss = masked_mse((cycle - queries) ** 2, mask)
         loss = loss + cycle_loss
-    metrics = {"loss": loss, "corr_loss": corr_loss, "cycle_loss": cycle_loss}
+    metrics = {"loss": loss, "corr_loss": corr_loss,
+               "cycle_loss": cycle_loss, "pred": pred}
     return loss, metrics

@@ -77,7 +77,8 @@ def make_train_step(model, tx, cfg: TrainConfig,
         in_shardings=(None,
                       {"image": bsh, "queries": bsh, "targets": bsh}, repl),
         out_shardings=(None,
-                       {"loss": repl, "corr_loss": repl, "cycle_loss": repl}),
+                       {"loss": repl, "corr_loss": repl, "cycle_loss": repl,
+                        "pred": bsh}),
         donate_argnums=(0,),
     )
 

@@ -129,15 +129,35 @@ class Trainer:
         if self.val_loader is None:
             return float("nan")
         losses = []
+        first = None
         for batch in self.val_loader():
             batch = {k: batch[k] for k in ("image", "queries", "targets")}
-            batch = shard_batch(
+            jbatch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
-            out = self._eval_step(self.state.params, batch)
+            out = self._eval_step(self.state.params, jbatch)
             losses.append(float(out["val_loss"]))
+            if first is None:
+                first = (batch, np.asarray(out["pred"]))
         val = float(np.mean(losses)) if losses else float("nan")
         if self._tb is not None and np.isfinite(val):
             self._tb.add_scalar("loss/val", val, int(self.state.step))
+            if first is not None:
+                # GT-vs-pred correspondence renderings
+                # (reference cotr_trainer.py:104-119)
+                from cotr_tpu.training.tb import draw_corrs
+
+                batch, pred = first
+                img = np.asarray(batch["image"][:4])
+                q = np.asarray(batch["queries"][:4])
+                gt = np.concatenate([q, np.asarray(batch["targets"][:4])], -1)
+                pd = np.concatenate([q, pred[:4]], -1)
+                step_i = int(self.state.step)
+                self._tb.add_image("image/gt_corrs",
+                                   draw_corrs(img, gt, (0, 255, 0))[0],
+                                   step_i, dataformats="HWC")
+                self._tb.add_image("image/pred_corrs",
+                                   draw_corrs(img, pd, (255, 0, 0))[0],
+                                   step_i, dataformats="HWC")
         return val
 
     def train(self, resume: bool = False):
@@ -158,10 +178,16 @@ class Trainer:
                 self.state, metrics = self._train_step(self.state, batch, sub)
                 step += 1
                 if self._tb is not None and step % 50 == 0:
+                    # scalar + pred/target histograms
+                    # (reference cotr_trainer.py:156-163)
                     self._tb.add_scalar("loss/train", float(metrics["loss"]),
                                         step)
                     self._tb.add_scalar("loss/cycle",
                                         float(metrics["cycle_loss"]), step)
+                    self._tb.add_histogram("distribution/pred",
+                                           np.asarray(metrics["pred"]), step)
+                    self._tb.add_histogram("distribution/target",
+                                           np.asarray(batch["targets"]), step)
                 if step % self.cfg.valid_iter == 0:
                     val = self.validate()
                     self.save_checkpoint()

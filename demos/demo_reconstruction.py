@@ -36,10 +36,11 @@ def main():
     from cotr_tpu.ops.geometry_cv import pixel_rays, triangulate_rays_midpoint
 
     def c2w(cam):
-        # sample_data cameras store K and world-to-camera
-        k = np.asarray(cam["K"]) if "K" in cam else np.asarray(cam["intrinsic"])
-        w2c = (np.asarray(cam["W2C"]) if "W2C" in cam
-               else np.asarray(cam["extrinsic"]))
+        # sample_data cameras store {'intrinsic': K, 'c2w': camera-to-world}
+        k = np.asarray(cam["intrinsic"], np.float64)
+        if "c2w" in cam:
+            return k, np.asarray(cam["c2w"], np.float64)
+        w2c = np.asarray(cam.get("W2C", cam.get("extrinsic")), np.float64)
         if w2c.shape == (3, 4):
             w2c = np.concatenate([w2c, [[0, 0, 0, 1]]], axis=0)
         return k, np.linalg.inv(w2c)
