@@ -35,6 +35,18 @@ def _to_float01(img: np.ndarray) -> np.ndarray:
     return img / 255.0 if img.max() > 2.0 else img
 
 
+def relative_scales(area_a: float, area_b: float) -> Tuple[float, float]:
+    """(s_from, s_to) from confident-area estimates
+    (refinement_task.py:25-30); degenerate zero areas (e.g. an untrained
+    model yields no confident pixels) fall back to equal scales instead of
+    the reference's NaN."""
+    if area_a <= 0 or area_b <= 0:
+        return BASE_ZOOM, BASE_ZOOM
+    if area_a < area_b:
+        return BASE_ZOOM, BASE_ZOOM * float(np.sqrt(area_b / area_a))
+    return BASE_ZOOM * float(np.sqrt(area_a / area_b)), BASE_ZOOM
+
+
 def stretch_to_square(img: np.ndarray) -> np.ndarray:
     """Stretch to a max(h,w) square (reference capture.py:123-125)."""
     size = max(img.shape[:2])
@@ -172,10 +184,7 @@ class SparseEngine:
         """Run every task through the zoom scan; returns the full location
         history (Z+1, T, 2) including the seed row (loc_history semantics,
         refinement_task.py:43,179)."""
-        if area_a < area_b:  # refinement_task.py:25-30
-            s_from, s_to = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_b / area_a)
-        else:
-            s_to, s_from = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_a / area_b)
+        s_from, s_to = relative_scales(area_a, area_b)
 
         pyr_a, hw_a = self.refiner.build_pyramid(_to_float01(img_a))
         pyr_b, hw_b = self.refiner.build_pyramid(_to_float01(img_b))
@@ -353,10 +362,7 @@ class FasterSparseEngine(SparseEngine):
                     zoom_ins, converge_iters):
         from cotr_tpu.inference.grouped import refine_grouped
 
-        if area_a < area_b:
-            s_from, s_to = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_b / area_a)
-        else:
-            s_to, s_from = BASE_ZOOM, BASE_ZOOM * np.sqrt(area_a / area_b)
+        s_from, s_to = relative_scales(area_a, area_b)
         pyr_a, hw_a = self.refiner.build_pyramid(_to_float01(img_a))
         pyr_b, hw_b = self.refiner.build_pyramid(_to_float01(img_b))
         from cotr_tpu.inference.refine import zoom_schedule
