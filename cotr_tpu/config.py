@@ -145,6 +145,26 @@ def save_params_json(path: str, model_cfg: COTRConfig, train_cfg: TrainConfig,
         json.dump(payload, f, indent=2, sort_keys=True)
 
 
+def build_scenes_name_list(dataset_config: Dict[str, Any],
+                           scene_ids: Any) -> list:
+    """Expand scene/sequence ids through directory templates
+    (reference options_utils.py:88-108): dataset_config provides f-string
+    templates {scene_dir,image_dir,depth_dir} with ``{scene}``/``{seq}``
+    placeholders; scene_ids is a list of (scene, seq) pairs or
+    "scene/seq" strings."""
+    out = []
+    for item in scene_ids:
+        if isinstance(item, str):
+            scene, _, seq = item.partition("/")
+        else:
+            scene, seq = item
+        out.append({
+            k: dataset_config[k].format(scene=scene, seq=seq)
+            for k in ("scene_dir", "image_dir", "depth_dir")
+        })
+    return out
+
+
 def check_params_json(path: str, model_cfg: COTRConfig,
                       train_cfg: TrainConfig) -> bool:
     """Return True iff an existing params.json matches the given configs."""

@@ -14,7 +14,7 @@ calls on the compute path (SURVEY.md §2.10 item 5):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

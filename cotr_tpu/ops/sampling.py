@@ -24,7 +24,7 @@ Coordinate conventions:
 
 from __future__ import annotations
 
-import math
+
 from typing import List, Sequence, Tuple
 
 import jax

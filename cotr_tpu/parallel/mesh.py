@@ -14,7 +14,7 @@ self-attention), so inference scale-out shards the task batch the same way.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np
@@ -47,3 +47,17 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_batch_multihost(batch: Any, mesh: Mesh,
+                          axis_name: str = "data") -> Any:
+    """Assemble a GLOBAL batch from per-host local shards (multi-host input
+    pipeline; SURVEY.md §2.11): each host's loader produces its slice of the
+    global batch; this stitches them into global arrays sharded over the
+    mesh. On a single host this reduces to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis_name)
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

@@ -8,7 +8,7 @@ correspondence image grids pushed at validation
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

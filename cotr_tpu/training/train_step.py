@@ -8,7 +8,7 @@ across chips, parameters are replicated, and XLA inserts the gradient psum.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

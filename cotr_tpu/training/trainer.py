@@ -15,7 +15,7 @@ cotr_trainer.py):
 
 from __future__ import annotations
 
-import math
+
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
