@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--zooms", type=int, default=3)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--flash", action="store_true",
+                    help="use the fused Pallas cross-attention kernel")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,7 @@ def main():
     members = args.members or (32 if args.quick else 4096)
     iters = args.iters or (2 if args.quick else 10)
 
-    cfg = COTRConfig(dtype=args.dtype)
+    cfg = COTRConfig(dtype=args.dtype, use_flash_attention=args.flash)
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, jnp.zeros((1, 256, 512, 3)),
