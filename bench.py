@@ -31,8 +31,10 @@ def main():
     ap.add_argument("--zooms", type=int, default=3)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--flash", action="store_true",
-                    help="use the fused Pallas cross-attention kernel")
+    ap.add_argument("--flash", default=True,
+                    type=lambda v: str(v).lower() not in ("no", "false", "0"),
+                    help="use the fused Pallas cross-attention kernel "
+                         "(default yes; pass --flash no to disable)")
     args = ap.parse_args()
 
     import jax

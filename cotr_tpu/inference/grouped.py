@@ -87,10 +87,18 @@ def form_squads(loc_from: np.ndarray, loc_to: np.ndarray, active: np.ndarray,
 
 
 class GroupedStepper:
-    """Compiled device step: (G pilot boxes, (G, M) queries) -> predictions."""
+    """Compiled device step: (G pilot boxes, (G, M) queries) -> predictions.
 
-    def __init__(self, runner, crop_dtype=jnp.float32):
+    With a ``mesh``, the squad axis G is sharded across devices (images and
+    params replicated) — multi-chip inference scale-out: every chip crops,
+    encodes and decodes its squad shard with zero collectives (queries are
+    independent; SURVEY.md §2.11). Squad counts must then be padded to a
+    multiple of the mesh size (group_bucket handles this).
+    """
+
+    def __init__(self, runner, crop_dtype=jnp.float32, mesh=None):
         self.runner = runner
+        self.mesh = mesh
         model = runner.model
 
         def step(params, img_a, img_b, boxes_from, boxes_to, queries):
@@ -103,7 +111,17 @@ class GroupedStepper:
             memory = model.apply(params, canvas, method="encode")
             return model.apply(params, memory, queries, method="decode")
 
-        self._step = jax.jit(step)
+        if mesh is None:
+            self._step = jax.jit(step)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            gsh = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self._step = jax.jit(
+                step,
+                in_shardings=(None, repl, repl, gsh, gsh, gsh),
+                out_shardings=gsh)
 
     def __call__(self, img_a, img_b, boxes_from, boxes_to, queries):
         return np.asarray(self._step(
