@@ -158,10 +158,15 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a, img_b_dev, 
         x0t, y0t, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
 
         # member queries normalized into their squad's source patch
-        # (get_task_pilot, refinement_task.py:71-85)
+        # (get_task_pilot, refinement_task.py:71-85); pad to power-of-two
+        # buckets so each (g_pad, m_pad) shape compiles at most once
         m_max = max(int(np.bincount(squad_of[squad_of >= 0]).max()), 1)
-        m_pad = -(-m_max // member_bucket) * member_bucket
-        g_pad = -(-g // group_bucket) * group_bucket
+        m_pad = member_bucket
+        while m_pad < m_max:
+            m_pad *= 2
+        g_pad = group_bucket
+        while g_pad < g:
+            g_pad *= 2
 
         queries = np.zeros((g_pad, m_pad, 2), np.float32)
         member_ids = np.full((g_pad, m_pad), -1, int)

@@ -104,6 +104,31 @@ def test_pyramid_crop_downscale_close_to_pil():
             0.5 * np.abs(aliased - pil_n).mean())
 
 
+@pytest.mark.parametrize("box,out", [
+    ((0, 0, 64, 64), 256),    # upscale
+    ((16, 16, 32, 32), 128),  # crop + upscale
+    ((0, 0, 512, 512), 128),  # anti-aliased downscale
+    ((37, 21, 300, 300), 64), # crop + downscale
+])
+def test_crop_and_resize_matmul_exact_pil(box, out):
+    """The separable-matmul crop must reproduce PIL BILINEAR exactly,
+    including the anti-aliased downscale filter."""
+    from cotr_tpu.ops import crop_and_resize_matmul
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.float32)
+    x0, y0, bw, bh = box
+    boxes = np.array([[x0, y0, bw, bh]], np.float32)
+    ours = np.asarray(crop_and_resize_matmul(jnp.asarray(img),
+                                             jnp.asarray(boxes), out))[0]
+    pil = np.stack([
+        np.array(PIL.Image.fromarray(img[y0:y0 + bh, x0:x0 + bw, c]).resize(
+            (out, out), resample=PIL.Image.BILINEAR)) for c in range(3)],
+        axis=-1)
+    assert np.abs(ours - pil).max() < 2e-3, np.abs(ours - pil).max()
+
+
 def test_canvas_normalization_matches_torchvision_math():
     rng = np.random.RandomState(6)
     img = rng.randint(0, 255, (8, 16, 3), dtype=np.uint8)
