@@ -100,15 +100,34 @@ def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
 def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
                img_b_sq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Two square uint8/float images -> (corr_a, corr_b) each (256, 256, 3):
-    per-pixel [-1,1] target coords in the *other* image + cycle confidence."""
-    a = np.asarray(resize_bilinear(jnp.asarray(img_a_sq, jnp.float32),
-                                   (MAX_SIZE, MAX_SIZE)))
-    b = np.asarray(resize_bilinear(jnp.asarray(img_b_sq, jnp.float32),
-                                   (MAX_SIZE, MAX_SIZE)))
-    scale = 255.0 if img_a_sq.dtype == np.uint8 or a.max() > 2.0 else 1.0
-    canvas = normalize_canvas(two_images_side_by_side(a, b) / scale)[None]
-    corr = np.asarray(_dense_pass_device(runner, jnp.asarray(canvas)))
+    per-pixel [-1,1] target coords in the *other* image + cycle confidence.
+
+    Transfer-conscious: uint8 inputs upload as uint8 (the tunnel to the chip
+    moves ~30 MB/s; float uploads of megapixel patches dominated the seed
+    pass) and all conversion/resize happens on device."""
+    def to_dev(img):
+        d = jnp.asarray(img)  # uint8 stays uint8 on the wire
+        f = d.astype(jnp.float32)
+        if img.dtype == np.uint8 or float(np.asarray(img).max()) > 2.0:
+            f = f / 255.0
+        return resize_bilinear(f, (MAX_SIZE, MAX_SIZE))
+
+    canvas = normalize_canvas(
+        two_images_side_by_side(to_dev(img_a_sq), to_dev(img_b_sq)))[None]
+    corr = np.asarray(_dense_pass_device(runner, canvas))
     return corr[:, :MAX_SIZE], corr[:, MAX_SIZE:]
+
+
+def _resize_field_host(field: np.ndarray, shape_hw: Tuple[int, int]
+                       ) -> np.ndarray:
+    """Per-channel PIL BILINEAR resize of a float field on the host
+    (reference utils.float_image_resize, utils/utils.py:69-83)."""
+    import PIL.Image
+
+    chans = [np.array(PIL.Image.fromarray(field[..., c]).resize(
+        shape_hw[::-1], resample=PIL.Image.BILINEAR))
+        for c in range(field.shape[-1])]
+    return np.stack(chans, axis=-1)
 
 
 def _patch_affine(p: ImagePatch) -> Tuple[np.ndarray, np.ndarray]:
@@ -163,8 +182,10 @@ def dense_flow(runner: ModelRunner, img_a: np.ndarray, img_b: np.ndarray):
             c_j = c_j.copy()
             c_i[..., :2] = c_i[..., :2] * s_j + t_j
             c_j[..., :2] = c_j[..., :2] * s_i + t_i
-            c_i = np.asarray(resize_bilinear(jnp.asarray(c_i), (p_i.h, p_i.w)))
-            c_j = np.asarray(resize_bilinear(jnp.asarray(c_j), (p_j.h, p_j.w)))
+            # host-side PIL resize: the upsampled fields are ~10x larger
+            # than the (256, 256) originals and would saturate the tunnel
+            c_i = _resize_field_host(c_i, (p_i.h, p_i.w))
+            c_j = _resize_field_host(c_j, (p_j.h, p_j.w))
             corrs_a.append(ImagePatch(c_i, p_i.x, p_i.y, p_i.w, p_i.h,
                                       p_i.ow, p_i.oh))
             corrs_b.append(ImagePatch(c_j, p_j.x, p_j.y, p_j.w, p_j.h,

@@ -48,15 +48,25 @@ def relative_scales(area_a: float, area_b: float) -> Tuple[float, float]:
 
 
 def stretch_to_square(img: np.ndarray) -> np.ndarray:
-    """Stretch to a max(h,w) square (reference capture.py:123-125)."""
+    """Stretch to a max(h,w) square (reference capture.py:123-125).
+
+    Host-side PIL, exactly like the reference — megapixel device round
+    trips are slower than PIL over this environment's ~30 MB/s tunnel."""
+    import PIL.Image
+
     size = max(img.shape[:2])
-    out = resize_bilinear(jnp.asarray(img, jnp.float32), (size, size))
-    return np.asarray(out)
+    if img.dtype == np.uint8:
+        return np.array(PIL.Image.fromarray(img).resize(
+            (size, size), resample=PIL.Image.BILINEAR))
+    from cotr_tpu.inference.dense import _resize_field_host
+
+    return _resize_field_host(np.asarray(img, np.float32), (size, size))
 
 
 def _resize_field(field: np.ndarray, shape_hw: Tuple[int, int]) -> np.ndarray:
-    return np.asarray(resize_bilinear(jnp.asarray(field, jnp.float32),
-                                      shape_hw))
+    from cotr_tpu.inference.dense import _resize_field_host
+
+    return _resize_field_host(np.asarray(field, np.float32), shape_hw)
 
 
 class SparseEngine:
@@ -77,9 +87,12 @@ class SparseEngine:
         (sparse_engine.py:148-166), kept deterministic for reproducibility.
     """
 
-    def __init__(self, runner: ModelRunner, batch_size: int = 1024,
+    def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
                  image_bucket: int = 256, seed: int = 0):
+        # batch_size bounds canvases per device dispatch: each canvas costs
+        # ~8 MB of encoder attention temps per layer (f32), so very large
+        # batches exhaust HBM with no throughput benefit
         assert mode in ("stretching", "tile")
         self.runner = runner
         self.batch_size = batch_size
@@ -186,8 +199,8 @@ class SparseEngine:
         refinement_task.py:43,179)."""
         s_from, s_to = relative_scales(area_a, area_b)
 
-        pyr_a, hw_a = self.refiner.build_pyramid(_to_float01(img_a))
-        pyr_b, hw_b = self.refiner.build_pyramid(_to_float01(img_b))
+        pyr_a, hw_a = self.refiner.build_pyramid(img_a)
+        pyr_b, hw_b = self.refiner.build_pyramid(img_b)
 
         t = len(loc_from)
         histories = []
@@ -317,12 +330,16 @@ class SparseEngine:
                 qn = np.stack([(q[:, 0] - p_i.x) / (2 * p_i.w),
                                (q[:, 1] - p_i.y) / p_i.h], axis=1)
 
-                a = np.asarray(resize_bilinear(
-                    jnp.asarray(_to_float01(p_i.patch)), (256, 256)))
-                b = np.asarray(resize_bilinear(
-                    jnp.asarray(_to_float01(p_j.patch)), (256, 256)))
-                canvas = normalize_canvas(
-                    two_images_side_by_side(a, b))[None]
+                def dev01(patch):
+                    d = jnp.asarray(np.asarray(patch))
+                    d = d.astype(jnp.float32)
+                    if (patch.dtype == np.uint8 or
+                            float(np.asarray(patch).max()) > 2.0):
+                        d = d / 255.0
+                    return resize_bilinear(d, (256, 256))
+
+                canvas = normalize_canvas(two_images_side_by_side(
+                    dev01(p_i.patch), dev01(p_j.patch)))[None]
                 mem = self.runner.encode(jnp.asarray(canvas))
                 out = np.asarray(self.runner.decode(
                     mem, qn[None].astype(np.float32)))[0]
@@ -349,7 +366,7 @@ class FasterSparseEngine(SparseEngine):
     little spatial accuracy for throughput.
     """
 
-    def __init__(self, runner: ModelRunner, batch_size: int = 1024,
+    def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
                  image_bucket: int = 256, seed: int = 0, max_load: int = 256):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
@@ -363,8 +380,8 @@ class FasterSparseEngine(SparseEngine):
         from cotr_tpu.inference.grouped import refine_grouped
 
         s_from, s_to = relative_scales(area_a, area_b)
-        pyr_a, hw_a = self.refiner.build_pyramid(_to_float01(img_a))
-        pyr_b, hw_b = self.refiner.build_pyramid(_to_float01(img_b))
+        pyr_a, hw_a = self.refiner.build_pyramid(img_a)
+        pyr_b, hw_b = self.refiner.build_pyramid(img_b)
         from cotr_tpu.inference.refine import zoom_schedule
         zooms = zoom_schedule(zoom_ins, converge_iters)
         history = refine_grouped(

@@ -131,16 +131,21 @@ class GroupedStepper:
             jnp.asarray(queries, jnp.float32)))
 
 
-def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a, img_b_dev, hw_b,
+def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
+                   img_b_dev, hw_b,
                    loc_from: np.ndarray, loc_to0: np.ndarray,
                    s_from: float, s_to: float, zoom_ins: Sequence[float],
                    rng: np.random.RandomState,
                    max_load: int = 256, group_bucket: int = 8,
-                   member_bucket: int = 64) -> np.ndarray:
+                   member_bucket: int = 64, group_cap: int = 64
+                   ) -> np.ndarray:
     """Zoom-major grouped refinement over all tasks.
 
-    Returns loc_to history (Z, T, 2). Group/member counts are padded up to
-    buckets to bound recompilation.
+    Returns loc_to history (Z, T, 2). Group/member counts are padded to
+    power-of-two buckets (each shape compiles once); at most ``group_cap``
+    canvases are dispatched per device call — when grouping degenerates
+    (every task its own squad), the encoder's per-canvas attention buffers
+    would otherwise scale with the task count and exhaust HBM.
     """
     t = len(loc_from)
     loc_to = loc_to0.astype(np.float64).copy()
@@ -154,48 +159,56 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a, img_b_dev, 
             loc_from, loc_to, np.ones(t, bool), scale_f, scale_t,
             (h_a, w_a), (h_b, w_b), max_load, rng)
         g = len(pilots)
-        x0f, y0f, sf = patch_box_np(loc_from[pilots], scale_f, h_a, w_a)
-        x0t, y0t, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
+        x0f_all, y0f_all, sf = patch_box_np(loc_from[pilots], scale_f,
+                                            h_a, w_a)
+        x0t_all, y0t_all, st = patch_box_np(loc_to[pilots], scale_t,
+                                            h_b, w_b)
+        members_of = [np.where(squad_of == gi)[0] for gi in range(g)]
 
-        # member queries normalized into their squad's source patch
-        # (get_task_pilot, refinement_task.py:71-85); pad to power-of-two
-        # buckets so each (g_pad, m_pad) shape compiles at most once
-        m_max = max(int(np.bincount(squad_of[squad_of >= 0]).max()), 1)
-        m_pad = member_bucket
-        while m_pad < m_max:
-            m_pad *= 2
-        g_pad = group_bucket
-        while g_pad < g:
-            g_pad *= 2
+        for start in range(0, g, group_cap):
+            end = min(start + group_cap, g)
+            gc = end - start
+            m_max = max((len(members_of[gi]) for gi in range(start, end)),
+                        default=1)
+            m_pad = member_bucket
+            while m_pad < m_max:
+                m_pad *= 2
+            g_pad = group_bucket
+            while g_pad < gc:
+                g_pad *= 2
 
-        queries = np.zeros((g_pad, m_pad, 2), np.float32)
-        member_ids = np.full((g_pad, m_pad), -1, int)
-        for gi in range(g):
-            members = np.where(squad_of == gi)[0]
-            qx = (loc_from[members, 0] - x0f[gi]) / (2 * sf)
-            qy = (loc_from[members, 1] - y0f[gi]) / sf
-            queries[gi, :len(members), 0] = qx
-            queries[gi, :len(members), 1] = qy
-            member_ids[gi, :len(members)] = members
+            queries = np.zeros((g_pad, m_pad, 2), np.float32)
+            member_ids = np.full((g_pad, m_pad), -1, int)
+            for li, gi in enumerate(range(start, end)):
+                members = members_of[gi]
+                queries[li, :len(members), 0] = (
+                    (loc_from[members, 0] - x0f_all[gi]) / (2 * sf))
+                queries[li, :len(members), 1] = (
+                    (loc_from[members, 1] - y0f_all[gi]) / sf)
+                member_ids[li, :len(members)] = members
 
-        boxes_from = np.zeros((g_pad, 4), np.float32)
-        boxes_to = np.zeros((g_pad, 4), np.float32)
-        boxes_from[:g] = np.stack([x0f, y0f,
-                                   np.full(g, sf), np.full(g, sf)], axis=1)
-        boxes_to[:g] = np.stack([x0t, y0t,
-                                 np.full(g, st), np.full(g, st)], axis=1)
-        boxes_from[g:, 2:] = 2.0  # degenerate but valid boxes for padding
-        boxes_to[g:, 2:] = 2.0
+            boxes_from = np.zeros((g_pad, 4), np.float32)
+            boxes_to = np.zeros((g_pad, 4), np.float32)
+            boxes_from[:gc] = np.stack(
+                [x0f_all[start:end], y0f_all[start:end],
+                 np.full(gc, sf), np.full(gc, sf)], axis=1)
+            boxes_to[:gc] = np.stack(
+                [x0t_all[start:end], y0t_all[start:end],
+                 np.full(gc, st), np.full(gc, st)], axis=1)
+            boxes_from[gc:, 2:] = 2.0  # degenerate but valid padding boxes
+            boxes_to[gc:, 2:] = 2.0
 
-        preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to, queries)
+            preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to,
+                            queries)
 
-        # denormalize through the squad's target patch
-        for gi in range(g):
-            sel = member_ids[gi] >= 0
-            members = member_ids[gi][sel]
-            p = preds[gi][sel]
-            loc_to[members, 0] = (p[:, 0] - 0.5) * 2 * st + x0t[gi]
-            loc_to[members, 1] = p[:, 1] * st + y0t[gi]
+            # denormalize through each squad's target patch
+            # (scale_to_loc, refinement_task.py:145-151)
+            for li, gi in enumerate(range(start, end)):
+                sel = member_ids[li] >= 0
+                members = member_ids[li][sel]
+                p = preds[li][sel]
+                loc_to[members, 0] = (p[:, 0] - 0.5) * 2 * st + x0t_all[gi]
+                loc_to[members, 1] = p[:, 1] * st + y0t_all[gi]
         history.append(loc_to.copy())
 
     return np.stack(history, axis=0)

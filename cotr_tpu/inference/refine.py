@@ -175,13 +175,22 @@ class BatchRefiner:
         return out
 
     def build_pyramid(self, img: np.ndarray) -> Tuple[Any, Tuple[int, int]]:
-        """float [0,1] HWC image -> (padded device image, true (h, w)).
+        """uint8 or float HWC image -> (padded [0,1] device image, (h, w)).
 
-        (Name kept from the gather-pyramid era; crops are now exact-PIL
-        matmuls over the level-0 image.)"""
+        uint8 uploads as uint8 (4x less tunnel traffic) and converts on
+        device. (Name kept from the gather-pyramid era; crops are now
+        exact-PIL matmuls over the level-0 image.)"""
         h, w = img.shape[:2]
-        padded = jnp.asarray(self._pad_to_bucket(img), jnp.float32)
-        return padded, (h, w)
+        img = np.asarray(img)
+        padded = self._pad_to_bucket(img)
+        dev = jnp.asarray(padded)
+        if padded.dtype == np.uint8:
+            dev = dev.astype(jnp.float32) / 255.0
+        else:
+            dev = dev.astype(jnp.float32)
+            if float(img.max()) > 2.0:
+                dev = dev / 255.0
+        return dev, (h, w)
 
     prepare_image = build_pyramid
 

@@ -21,7 +21,7 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--max_corrs", type=int, default=100)
-    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--faster_infer", default="no", choices=["yes", "no"])
     ap.add_argument("--out", default=None, help="output image path")
 
@@ -39,7 +39,9 @@ def build_engine(args, mode="tile"):
     from cotr_tpu.inference import ModelRunner, SparseEngine
     from cotr_tpu.inference.engine import FasterSparseEngine
 
-    cfg = COTRConfig(dtype=args.dtype)
+    # fused Pallas attention: big VMEM/HBM win at inference;
+    # auto-falls-back off-TPU or under dropout
+    cfg = COTRConfig(dtype=args.dtype, use_flash_attention=True)
     model = build_model(cfg)
     if args.load_weights_path and args.load_weights_path.endswith(
             (".pth", ".tar")):
