@@ -102,6 +102,11 @@ class SparseEngine:
         self.rng = np.random.RandomState(seed)
         self.total_tasks = 0
 
+    @classmethod
+    def from_config(cls, runner: ModelRunner, cfg, **kw):
+        """Build from an InferenceConfig (cotr_tpu.config.InferenceConfig)."""
+        return cls(runner, batch_size=cfg.batch_size, mode=cfg.mode, **kw)
+
     # ------------------------------------------------------------------ seed
 
     def _dense_fields(self, img_a: np.ndarray, img_b: np.ndarray):
@@ -368,12 +373,20 @@ class FasterSparseEngine(SparseEngine):
 
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
-                 image_bucket: int = 256, seed: int = 0, max_load: int = 256):
+                 image_bucket: int = 256, seed: int = 0, max_load: int = 256,
+                 mesh=None):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
                          seed)
         self.max_load = max_load
         from cotr_tpu.inference.grouped import GroupedStepper
-        self._stepper = GroupedStepper(runner)
+        # mesh: shard the squad axis across devices (multi-chip inference)
+        self._stepper = GroupedStepper(runner, mesh=mesh)
+
+    @classmethod
+    def from_config(cls, runner: ModelRunner, cfg, **kw):
+        """Build from an InferenceConfig (cotr_tpu.config.InferenceConfig)."""
+        return cls(runner, batch_size=cfg.batch_size, mode=cfg.mode,
+                   max_load=cfg.max_load, **kw)
 
     def _refine_all(self, img_a, img_b, loc_from, loc_to, area_a, area_b,
                     zoom_ins, converge_iters):
