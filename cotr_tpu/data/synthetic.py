@@ -1,0 +1,105 @@
+"""Synthetic homography correspondence dataset.
+
+Self-supervised stand-in for MegaDepth when no SfM data is mounted: sample a
+256-square crop from a texture image, warp it through a random perspective
+transform, and supervise with the exact grid correspondences. Produces the
+same fixed-shape sample dict as CotrDataset ({image, queries, targets,
+corrs}), so the Trainer / train_cotr pipeline is exercised end-to-end with a
+learnable objective. Useful for smoke-training, demos without the released
+checkpoint, and regression-testing the optimization path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import PIL.Image
+
+from cotr_tpu.data.dataset import _package, _trim_corrs
+from cotr_tpu.ops.geometry_cv import apply_homography, homography_from_4pts
+from cotr_tpu.utils.constants import MAX_SIZE
+
+
+def _warp_host(img: np.ndarray, h_mat: np.ndarray,
+               out_hw) -> np.ndarray:
+    """Inverse bilinear warp on the host (scipy.ndimage)."""
+    from scipy.ndimage import map_coordinates
+
+    oh, ow = out_hw
+    ys, xs = np.mgrid[0:oh, 0:ow]
+    pts = np.stack([xs.ravel(), ys.ravel(), np.ones(oh * ow)], axis=0)
+    src = np.linalg.inv(h_mat) @ pts
+    sx = (src[0] / src[2]).reshape(oh, ow)
+    sy = (src[1] / src[2]).reshape(oh, ow)
+    chans = [map_coordinates(img[..., c], [sy, sx], order=1, mode="nearest")
+             for c in range(img.shape[-1])]
+    return np.stack(chans, axis=-1)
+
+
+class SyntheticHomographyDataset:
+    """len() controls epoch size; samples are fully determined by
+    (seed, index) so epochs shuffle deterministically."""
+
+    def __init__(self, image_paths: Optional[Sequence[str]] = None,
+                 length: int = 2048, num_kp: int = 100,
+                 bidirectional: bool = True, max_corner_jitter: float = 0.2,
+                 seed: int = 0):
+        if image_paths is None:
+            image_paths = sorted(
+                glob.glob("/root/reference/sample_data/imgs/*.jpg") +
+                glob.glob("/root/reference/sample_data/imgs/*.JPG"))
+        assert image_paths, "no texture images found"
+        self.images: List[np.ndarray] = []
+        for p in image_paths:
+            img = np.array(PIL.Image.open(p).convert("RGB"))
+            if min(img.shape[:2]) >= MAX_SIZE:
+                self.images.append(img)
+        assert self.images, "no usable texture images (need >=256px sides)"
+        self.length = length
+        self.num_kp = num_kp
+        self.bidirectional = bidirectional
+        self.max_corner_jitter = max_corner_jitter
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed * 1_000_003 + index)
+        img = self.images[rng.randint(len(self.images))]
+        h, w = img.shape[:2]
+
+        # square crop resized to 256 = image A
+        side = rng.randint(MAX_SIZE, min(h, w) + 1)
+        y0 = rng.randint(0, h - side + 1)
+        x0 = rng.randint(0, w - side + 1)
+        crop = img[y0:y0 + side, x0:x0 + side]
+        a = np.array(PIL.Image.fromarray(crop).resize(
+            (MAX_SIZE, MAX_SIZE), resample=PIL.Image.BILINEAR))
+
+        # random perspective: jitter the corners, warp A into B
+        s = MAX_SIZE - 1.0
+        corners = np.array([[0.0, 0], [s, 0], [s, s], [0, s]])
+        jitter = rng.uniform(-self.max_corner_jitter, self.max_corner_jitter,
+                             (4, 2)) * s
+        h_mat = homography_from_4pts(corners, corners + jitter)
+        b = _warp_host(a.astype(np.float32), h_mat,
+                       (MAX_SIZE, MAX_SIZE)).astype(np.uint8)
+
+        # grid correspondences that stay inside both frames
+        n_side = int(np.ceil(np.sqrt(self.num_kp * 3)))
+        lin = np.linspace(8, MAX_SIZE - 9, n_side)
+        gx, gy = np.meshgrid(lin, lin)
+        pts_a = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        pts_a += rng.uniform(-3, 3, pts_a.shape)
+        pts_a = np.clip(pts_a, 0, MAX_SIZE - 1.001)
+        pts_b = apply_homography(h_mat, pts_a)
+        ok = ((pts_b >= 0.0) & (pts_b <= MAX_SIZE - 1.001)).all(axis=1)
+        corrs = np.concatenate([pts_a[ok], pts_b[ok]], axis=1)
+        if corrs.shape[0] < 8:
+            return self.__getitem__((index + 1) % len(self))
+        corrs = _trim_corrs(corrs, self.num_kp, rng)
+        return _package(a, b, corrs, self.bidirectional, rng)

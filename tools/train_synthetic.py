@@ -1,0 +1,95 @@
+"""Train on the synthetic homography task and report held-out accuracy.
+
+Exercises the full production path (loss, param groups, DP train step,
+prefetch loader, Orbax checkpointing) with a genuinely learnable objective,
+and reports mean correspondence error on held-out warps before/after.
+
+  python tools/train_synthetic.py --steps 2000 --batch_size 24 \
+      --dtype bfloat16 --out out/synthetic_run
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch_size", type=int, default=24)
+    ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--enc_layers", type=int, default=6)
+    ap.add_argument("--dec_layers", type=int, default=6)
+    ap.add_argument("--num_kp", type=int, default=100)
+    ap.add_argument("--epoch_len", type=int, default=4096)
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--out", default="out/synthetic_run")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from cotr_tpu import COTRConfig, TrainConfig, build_model
+    from cotr_tpu.data.loader import PrefetchLoader
+    from cotr_tpu.data.synthetic import SyntheticHomographyDataset
+    from cotr_tpu.training import Trainer
+
+    model_cfg = COTRConfig(dtype=args.dtype, enc_layers=args.enc_layers,
+                           dec_layers=args.dec_layers)
+    train_cfg = TrainConfig(learning_rate=args.learning_rate,
+                            batch_size=args.batch_size, max_iter=args.steps,
+                            valid_iter=max(args.steps // 10, 50),
+                            num_kp=args.num_kp, out_dir=args.out,
+                            suffix="synthetic")
+
+    train_ds = SyntheticHomographyDataset(length=args.epoch_len,
+                                          num_kp=args.num_kp, seed=1)
+    val_ds = SyntheticHomographyDataset(length=args.batch_size * 4,
+                                        num_kp=args.num_kp, seed=777)
+
+    model = build_model(model_cfg)
+    trainer = Trainer(
+        model, model_cfg, train_cfg,
+        train_loader=PrefetchLoader(train_ds, args.batch_size,
+                                    num_workers=args.workers, seed=1),
+        val_loader=PrefetchLoader(val_ds, args.batch_size, shuffle=False,
+                                  num_workers=args.workers),
+        out_dir=args.out)
+
+    sample = next(iter(PrefetchLoader(val_ds, args.batch_size,
+                                      num_workers=2, shuffle=False)))
+    trainer.initialize(sample, seed=0)
+
+    def heldout_error(params):
+        pred = model.apply(params, jnp.asarray(sample["image"]),
+                           jnp.asarray(sample["queries"]))
+        err = np.linalg.norm(np.asarray(pred) - sample["targets"], axis=-1)
+        # normalized canvas units -> pixels on the 256-square halves
+        return float(err.mean() * 2 * 256), float(np.median(err) * 2 * 256)
+
+    e0 = heldout_error(trainer.state.params)
+    print(f"held-out corr error BEFORE: mean {e0[0]:.1f}px "
+          f"median {e0[1]:.1f}px")
+    t0 = time.time()
+    trainer.train(resume=args.resume)
+    print(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
+    e1 = heldout_error(trainer.state.params)
+    print(f"held-out corr error AFTER:  mean {e1[0]:.1f}px "
+          f"median {e1[1]:.1f}px")
+    trainer.save_checkpoint("final")
+    print(f"checkpoint: {os.path.join(args.out, 'checkpoints', 'final')}")
+
+
+if __name__ == "__main__":
+    main()
