@@ -93,10 +93,13 @@ def _trim_corrs(corrs: np.ndarray, num_kp: int,
 
 
 def _package(query_img: np.ndarray, nn_img: np.ndarray, corrs: np.ndarray,
-             bidirectional: bool, rng: np.random.RandomState
-             ) -> Dict[str, np.ndarray]:
+             bidirectional: bool, rng: np.random.RandomState,
+             raw_uint8: bool = False) -> Dict[str, np.ndarray]:
     """Flip augmentation + canvas normalization + bidirectional doubling
-    (cotr_dataset.py:99-122)."""
+    (cotr_dataset.py:99-122).
+
+    With ``raw_uint8`` the canvas stays uint8 and normalization happens on
+    device inside the train step (4x less host->device traffic)."""
     corrs = corrs.astype(np.float64).copy()
     if rng.uniform() < 0.5:
         corrs[:, 0] = MAX_SIZE - 1 - corrs[:, 0]
@@ -110,8 +113,10 @@ def _package(query_img: np.ndarray, nn_img: np.ndarray, corrs: np.ndarray,
     assert (0.0 <= corrs[:, 1]).all() and (corrs[:, 1] <= 1.0).all()
     assert (0.5 <= corrs[:, 2]).all() and (corrs[:, 2] <= 1.0).all()
     assert (0.0 <= corrs[:, 3]).all() and (corrs[:, 3] <= 1.0).all()
+    sbs = np.ascontiguousarray(sbs)
     out = {
-        "image": normalize_canvas(np.ascontiguousarray(sbs)),
+        "image": (sbs.astype(np.uint8) if raw_uint8
+                  else normalize_canvas(sbs)),
         "corrs": corrs.astype(np.float32),
     }
     if bidirectional:

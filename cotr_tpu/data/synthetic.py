@@ -46,7 +46,8 @@ class SyntheticHomographyDataset:
     def __init__(self, image_paths: Optional[Sequence[str]] = None,
                  length: int = 2048, num_kp: int = 100,
                  bidirectional: bool = True, max_corner_jitter: float = 0.2,
-                 seed: int = 0):
+                 seed: int = 0, raw_uint8: bool = True,
+                 max_crop_side: int = 512):
         if image_paths is None:
             image_paths = sorted(
                 glob.glob("/root/reference/sample_data/imgs/*.jpg") +
@@ -63,6 +64,8 @@ class SyntheticHomographyDataset:
         self.bidirectional = bidirectional
         self.max_corner_jitter = max_corner_jitter
         self.seed = seed
+        self.raw_uint8 = raw_uint8
+        self.max_crop_side = max_crop_side
 
     def __len__(self):
         return self.length
@@ -72,8 +75,9 @@ class SyntheticHomographyDataset:
         img = self.images[rng.randint(len(self.images))]
         h, w = img.shape[:2]
 
-        # square crop resized to 256 = image A
-        side = rng.randint(MAX_SIZE, min(h, w) + 1)
+        # square crop resized to 256 = image A (crop side capped: resizing
+        # megapixel crops dominates synthesis time otherwise)
+        side = rng.randint(MAX_SIZE, min(h, w, self.max_crop_side) + 1)
         y0 = rng.randint(0, h - side + 1)
         x0 = rng.randint(0, w - side + 1)
         crop = img[y0:y0 + side, x0:x0 + side]
@@ -102,4 +106,5 @@ class SyntheticHomographyDataset:
         if corrs.shape[0] < 8:
             return self.__getitem__((index + 1) % len(self))
         corrs = _trim_corrs(corrs, self.num_kp, rng)
-        return _package(a, b, corrs, self.bidirectional, rng)
+        return _package(a, b, corrs, self.bidirectional, rng,
+                        raw_uint8=self.raw_uint8)

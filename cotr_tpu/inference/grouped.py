@@ -201,14 +201,17 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
             preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to,
                             queries)
 
-            # denormalize through each squad's target patch
+            # denormalize through each squad's target patch, vectorized
             # (scale_to_loc, refinement_task.py:145-151)
-            for li, gi in enumerate(range(start, end)):
-                sel = member_ids[li] >= 0
-                members = member_ids[li][sel]
-                p = preds[li][sel]
-                loc_to[members, 0] = (p[:, 0] - 0.5) * 2 * st + x0t_all[gi]
-                loc_to[members, 1] = p[:, 1] * st + y0t_all[gi]
+            x0t_rows = np.zeros(g_pad)
+            y0t_rows = np.zeros(g_pad)
+            x0t_rows[:gc] = x0t_all[start:end]
+            y0t_rows[:gc] = y0t_all[start:end]
+            new_x = (preds[..., 0] - 0.5) * 2 * st + x0t_rows[:, None]
+            new_y = preds[..., 1] * st + y0t_rows[:, None]
+            sel = member_ids >= 0
+            loc_to[member_ids[sel], 0] = new_x[sel]
+            loc_to[member_ids[sel], 1] = new_y[sel]
         history.append(loc_to.copy())
 
     return np.stack(history, axis=0)

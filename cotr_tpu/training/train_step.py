@@ -28,6 +28,18 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def _prep_image(image: jnp.ndarray) -> jnp.ndarray:
+    """Batches may carry RAW uint8 canvases (4x less host->device traffic —
+    the upload is the step bottleneck over slow links); ImageNet
+    normalization then runs on device. float inputs pass through already
+    normalized."""
+    if image.dtype == jnp.uint8:
+        from cotr_tpu.ops.canvas import normalize_canvas
+
+        return normalize_canvas(image.astype(jnp.float32) / 255.0)
+    return image
+
+
 def create_train_state(model, cfg: TrainConfig, rng,
                        sample_batch: Dict[str, jnp.ndarray]
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
@@ -48,8 +60,8 @@ def make_train_step(model, tx, cfg: TrainConfig,
 
     def loss_fn(p, batch, rng):
         loss, metrics = cotr_loss(
-            model, {"params": p}, batch["image"], batch["queries"],
-            batch["targets"], cycle_consis=cfg.cycle_consis,
+            model, {"params": p}, _prep_image(batch["image"]),
+            batch["queries"], batch["targets"], cycle_consis=cfg.cycle_consis,
             bidirectional=cfg.bidirectional, train=True,
             rngs={"dropout": rng})
         return loss, metrics
@@ -85,10 +97,8 @@ def make_train_step(model, tx, cfg: TrainConfig,
 
 def make_eval_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None):
     def eval_fn(params, batch):
-        loss, metrics = cotr_loss(
-            model, params, batch["image"], batch["queries"], batch["targets"],
-            cycle_consis=False, bidirectional=cfg.bidirectional, train=False)
-        pred = model.apply(params, batch["image"], batch["queries"])
+        image = _prep_image(batch["image"])
+        pred = model.apply(params, image, batch["queries"])
         return {"val_loss": jnp.mean((pred - batch["targets"]) ** 2),
                 "pred": pred}
 

@@ -10,6 +10,7 @@ def test_sample_shapes_and_ranges():
     ds = SyntheticHomographyDataset(length=4, num_kp=25, seed=0)
     s = ds[1]
     assert s["image"].shape == (MAX_SIZE, 2 * MAX_SIZE, 3)
+    assert s["image"].dtype == np.uint8  # raw by default (device normalize)
     assert s["queries"].shape == (50, 2)  # bidirectional
     assert (s["queries"] >= 0).all() and (s["queries"] <= 1).all()
     assert (s["queries"][:25, 0] <= 0.5).all()
@@ -30,7 +31,7 @@ def test_correspondences_match_warp():
     from scipy.ndimage import map_coordinates
 
     ds = SyntheticHomographyDataset(length=4, num_kp=50, seed=2,
-                                    max_corner_jitter=0.1)
+                                    max_corner_jitter=0.1, raw_uint8=False)
     s = ds[0]
     img = s["image"]
     corrs = s["corrs"] * np.array([512, 256, 512, 256])

@@ -71,8 +71,14 @@ def main():
                                       num_workers=2, shuffle=False)))
     trainer.initialize(sample, seed=0)
 
+    from cotr_tpu.ops.canvas import normalize_canvas
+
+    eval_img = sample["image"]
+    if eval_img.dtype == np.uint8:
+        eval_img = normalize_canvas(eval_img.astype(np.float32) / 255.0)
+
     def heldout_error(params):
-        pred = model.apply(params, jnp.asarray(sample["image"]),
+        pred = model.apply(params, jnp.asarray(eval_img),
                            jnp.asarray(sample["queries"]))
         err = np.linalg.norm(np.asarray(pred) - sample["targets"], axis=-1)
         # normalized canvas units -> pixels on the 256-square halves
