@@ -21,11 +21,16 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch_size", type=int, default=24)
     ap.add_argument("--learning_rate", type=float, default=1e-4)
+    ap.add_argument("--lr_backbone", type=float, default=1e-4,
+                    help="the reference freezes its ImageNet-pretrained "
+                         "backbone; training from scratch needs it on")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--enc_layers", type=int, default=6)
     ap.add_argument("--dec_layers", type=int, default=6)
     ap.add_argument("--num_kp", type=int, default=100)
-    ap.add_argument("--epoch_len", type=int, default=4096)
+    ap.add_argument("--epoch_len", type=int, default=65536,
+                    help="unique synthetic samples; keep > steps*batch to "
+                         "avoid memorization")
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
@@ -48,6 +53,7 @@ def main():
     model_cfg = COTRConfig(dtype=args.dtype, enc_layers=args.enc_layers,
                            dec_layers=args.dec_layers)
     train_cfg = TrainConfig(learning_rate=args.learning_rate,
+                            lr_backbone=args.lr_backbone,
                             batch_size=args.batch_size, max_iter=args.steps,
                             valid_iter=max(args.steps // 10, 50),
                             num_kp=args.num_kp, out_dir=args.out,
