@@ -91,6 +91,7 @@ def main(argv=None):
     from cotr_tpu.config import check_params_json, compact_name
     from cotr_tpu.data import (CotrDataset, CotrZoomDataset, DataConfig,
                                batch_iterator)
+    from cotr_tpu.data.loader import PrefetchLoader
     from cotr_tpu.training import Trainer
 
     model_cfg = COTRConfig(
@@ -140,12 +141,13 @@ def main(argv=None):
     print(f"train queries: {len(train_ds)}, val queries: {len(val_ds)}")
 
     model = build_model(model_cfg)
+    workers = max(os.cpu_count() // 2, 2)
     trainer = Trainer(
         model, model_cfg, train_cfg,
-        train_loader=lambda: batch_iterator(train_ds, args.batch_size,
-                                            seed=train_cfg.seed),
-        val_loader=lambda: batch_iterator(val_ds, args.batch_size,
-                                          shuffle=False, seed=0),
+        train_loader=PrefetchLoader(train_ds, args.batch_size,
+                                    num_workers=workers, seed=train_cfg.seed),
+        val_loader=PrefetchLoader(val_ds, args.batch_size, shuffle=False,
+                                  num_workers=workers),
         out_dir=run_dir)
 
     sample = next(batch_iterator(train_ds, 2, seed=0))
