@@ -36,6 +36,10 @@ def main():
                     help="use the fused Pallas cross-attention kernel "
                          "(default yes; pass --flash no to disable)")
     args = ap.parse_args()
+    if args.quick and not any(a.startswith("--flash") for a in sys.argv):
+        # quick smoke: skip the Pallas kernel (fresh compiles for the tiny
+        # shapes dominate the run); the full bench uses it by default
+        args.flash = False
 
     import jax
     import jax.numpy as jnp
