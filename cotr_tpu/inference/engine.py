@@ -199,9 +199,9 @@ class SparseEngine:
 
     def _refine_all(self, img_a, img_b, loc_from, loc_to, area_a, area_b,
                     zoom_ins, converge_iters):
-        """Run every task through the zoom scan; returns the full location
-        history (Z+1, T, 2) including the seed row (loc_history semantics,
-        refinement_task.py:43,179)."""
+        """Run every task through the zoom scan; returns the location history
+        (len(zoom_ins)+1, T, 2): the seed row plus one converged row per zoom
+        level (loc_history semantics, refinement_task.py:43,179)."""
         s_from, s_to = relative_scales(area_a, area_b)
 
         pyr_a, hw_a = self.refiner.build_pyramid(img_a)
@@ -395,11 +395,10 @@ class FasterSparseEngine(SparseEngine):
         s_from, s_to = relative_scales(area_a, area_b)
         pyr_a, hw_a = self.refiner.build_pyramid(img_a)
         pyr_b, hw_b = self.refiner.build_pyramid(img_b)
-        from cotr_tpu.inference.refine import zoom_schedule
-        zooms = zoom_schedule(zoom_ins, converge_iters)
         history = refine_grouped(
             self.runner, self._stepper, pyr_a, hw_a, pyr_b, hw_b,
             np.asarray(loc_from, np.float64), np.asarray(loc_to, np.float64),
-            s_from, s_to, zooms, self.rng, max_load=self.max_load)
+            s_from, s_to, zoom_ins, self.rng, converge_iters=converge_iters,
+            max_load=self.max_load)
         self.total_tasks += history.shape[0] * history.shape[1]
         return np.concatenate([np.asarray(loc_to)[None], history], axis=0)

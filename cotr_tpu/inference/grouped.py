@@ -131,87 +131,136 @@ class GroupedStepper:
             jnp.asarray(queries, jnp.float32)))
 
 
+def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
+                       active, scale_f, scale_t, hw_a, hw_b, rng, max_load,
+                       group_bucket, member_bucket, group_cap):
+    """One squad-formation + device dispatch over the ``active`` tasks.
+
+    Updates loc_to in place for every active task (each active task belongs
+    to exactly one squad). Returns the number of squads formed.
+    """
+    h_a, w_a = hw_a
+    h_b, w_b = hw_b
+    squad_of, pilots = form_squads(loc_from, loc_to, active, scale_f, scale_t,
+                                   (h_a, w_a), (h_b, w_b), max_load, rng)
+    g = len(pilots)
+    if g == 0:
+        return 0
+    x0f_all, y0f_all, sf = patch_box_np(loc_from[pilots], scale_f, h_a, w_a)
+    x0t_all, y0t_all, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
+    members_of = [np.where(squad_of == gi)[0] for gi in range(g)]
+
+    for start in range(0, g, group_cap):
+        end = min(start + group_cap, g)
+        gc = end - start
+        m_max = max((len(members_of[gi]) for gi in range(start, end)),
+                    default=1)
+        m_pad = member_bucket
+        while m_pad < m_max:
+            m_pad *= 2
+        g_pad = group_bucket
+        while g_pad < gc:
+            g_pad *= 2
+
+        queries = np.zeros((g_pad, m_pad, 2), np.float32)
+        member_ids = np.full((g_pad, m_pad), -1, int)
+        for li, gi in enumerate(range(start, end)):
+            members = members_of[gi]
+            queries[li, :len(members), 0] = (
+                (loc_from[members, 0] - x0f_all[gi]) / (2 * sf))
+            queries[li, :len(members), 1] = (
+                (loc_from[members, 1] - y0f_all[gi]) / sf)
+            member_ids[li, :len(members)] = members
+
+        boxes_from = np.zeros((g_pad, 4), np.float32)
+        boxes_to = np.zeros((g_pad, 4), np.float32)
+        boxes_from[:gc] = np.stack(
+            [x0f_all[start:end], y0f_all[start:end],
+             np.full(gc, sf), np.full(gc, sf)], axis=1)
+        boxes_to[:gc] = np.stack(
+            [x0t_all[start:end], y0t_all[start:end],
+             np.full(gc, st), np.full(gc, st)], axis=1)
+        boxes_from[gc:, 2:] = 2.0  # degenerate but valid padding boxes
+        boxes_to[gc:, 2:] = 2.0
+
+        preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to, queries)
+
+        # denormalize through each squad's target patch, vectorized
+        # (scale_to_loc, refinement_task.py:145-151)
+        x0t_rows = np.zeros(g_pad)
+        y0t_rows = np.zeros(g_pad)
+        x0t_rows[:gc] = x0t_all[start:end]
+        y0t_rows[:gc] = y0t_all[start:end]
+        new_x = (preds[..., 0] - 0.5) * 2 * st + x0t_rows[:, None]
+        new_y = preds[..., 1] * st + y0t_rows[:, None]
+        sel = member_ids >= 0
+        loc_to[member_ids[sel], 0] = new_x[sel]
+        loc_to[member_ids[sel], 1] = new_y[sel]
+    return g
+
+
 def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
                    img_b_dev, hw_b,
                    loc_from: np.ndarray, loc_to0: np.ndarray,
                    s_from: float, s_to: float, zoom_ins: Sequence[float],
-                   rng: np.random.RandomState,
+                   rng: np.random.RandomState, converge_iters: int = 1,
                    max_load: int = 256, group_bucket: int = 8,
                    member_bucket: int = 64, group_cap: int = 64
                    ) -> np.ndarray:
     """Zoom-major grouped refinement over all tasks.
 
-    Returns loc_to history (Z, T, 2). Group/member counts are padded to
-    power-of-two buckets (each shape compiles once); at most ``group_cap``
-    canvases are dispatched per device call — when grouping degenerates
-    (every task its own squad), the encoder's per-canvas attention buffers
-    would otherwise scale with the task count and exhaust HBM.
+    Returns the per-zoom-level loc_to history (len(zoom_ins), T, 2) — one
+    row per level, final row converged — matching the reference task's
+    ``loc_history`` (refinement_task.py:43,179).
+
+    Convergence at the final zoom follows the reference exactly
+    (refinement_task.py:160-182 driven by the FasterSparseEngine while-loop,
+    sparse_engine.py:382-399): squads re-form each iteration among the
+    still-active tasks; a task freezes on the first exact revisit of an
+    earlier final-zoom prediction, taking the mean of the detected loop
+    (find_prediction_loop, inference_helper.py:22-28), or on its
+    ``converge_iters``-th iteration.
+
+    Group/member counts are padded to power-of-two buckets (each shape
+    compiles once); at most ``group_cap`` canvases are dispatched per device
+    call — when grouping degenerates (every task its own squad), the
+    encoder's per-canvas attention buffers would otherwise scale with the
+    task count and exhaust HBM.
     """
     t = len(loc_from)
     loc_to = loc_to0.astype(np.float64).copy()
     history = []
-    h_a, w_a = hw_a
-    h_b, w_b = hw_b
+    n_levels = len(zoom_ins)
 
-    for zoom in zoom_ins:
+    for zi, zoom in enumerate(zoom_ins):
         scale_f, scale_t = s_from * zoom, s_to * zoom
-        squad_of, pilots = form_squads(
-            loc_from, loc_to, np.ones(t, bool), scale_f, scale_t,
-            (h_a, w_a), (h_b, w_b), max_load, rng)
-        g = len(pilots)
-        x0f_all, y0f_all, sf = patch_box_np(loc_from[pilots], scale_f,
-                                            h_a, w_a)
-        x0t_all, y0t_all, st = patch_box_np(loc_to[pilots], scale_t,
-                                            h_b, w_b)
-        members_of = [np.where(squad_of == gi)[0] for gi in range(g)]
+        is_final = zi == n_levels - 1
+        iters = converge_iters if is_final else 1
+        active = np.ones(t, bool)
+        # loc_to_at_zoom: final-zoom prediction history per task
+        zoom_hist = np.zeros((iters, t, 2))
 
-        for start in range(0, g, group_cap):
-            end = min(start + group_cap, g)
-            gc = end - start
-            m_max = max((len(members_of[gi]) for gi in range(start, end)),
-                        default=1)
-            m_pad = member_bucket
-            while m_pad < m_max:
-                m_pad *= 2
-            g_pad = group_bucket
-            while g_pad < gc:
-                g_pad *= 2
-
-            queries = np.zeros((g_pad, m_pad, 2), np.float32)
-            member_ids = np.full((g_pad, m_pad), -1, int)
-            for li, gi in enumerate(range(start, end)):
-                members = members_of[gi]
-                queries[li, :len(members), 0] = (
-                    (loc_from[members, 0] - x0f_all[gi]) / (2 * sf))
-                queries[li, :len(members), 1] = (
-                    (loc_from[members, 1] - y0f_all[gi]) / sf)
-                member_ids[li, :len(members)] = members
-
-            boxes_from = np.zeros((g_pad, 4), np.float32)
-            boxes_to = np.zeros((g_pad, 4), np.float32)
-            boxes_from[:gc] = np.stack(
-                [x0f_all[start:end], y0f_all[start:end],
-                 np.full(gc, sf), np.full(gc, sf)], axis=1)
-            boxes_to[:gc] = np.stack(
-                [x0t_all[start:end], y0t_all[start:end],
-                 np.full(gc, st), np.full(gc, st)], axis=1)
-            boxes_from[gc:, 2:] = 2.0  # degenerate but valid padding boxes
-            boxes_to[gc:, 2:] = 2.0
-
-            preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to,
-                            queries)
-
-            # denormalize through each squad's target patch, vectorized
-            # (scale_to_loc, refinement_task.py:145-151)
-            x0t_rows = np.zeros(g_pad)
-            y0t_rows = np.zeros(g_pad)
-            x0t_rows[:gc] = x0t_all[start:end]
-            y0t_rows[:gc] = y0t_all[start:end]
-            new_x = (preds[..., 0] - 0.5) * 2 * st + x0t_rows[:, None]
-            new_y = preds[..., 1] * st + y0t_rows[:, None]
-            sel = member_ids >= 0
-            loc_to[member_ids[sel], 0] = new_x[sel]
-            loc_to[member_ids[sel], 1] = new_y[sel]
+        for it in range(iters):
+            if not active.any():
+                break
+            _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from,
+                               loc_to, active, scale_f, scale_t, hw_a, hw_b,
+                               rng, max_load, group_bucket, member_bucket,
+                               group_cap)
+            if not is_final:
+                break
+            # revisit detection vs iterations 0..it-1 (exact equality,
+            # refinement_task.py:161-163)
+            eq = np.all(zoom_hist[:it] == loc_to[None], axis=-1) \
+                if it else np.zeros((0, t), bool)            # (it, T)
+            has_loop = eq.any(axis=0) & active
+            zoom_hist[it] = loc_to
+            # loop average: mean of zoom_hist[first_match .. it-1]
+            for ti in np.where(has_loop)[0]:
+                j0 = int(eq[:, ti].argmax())
+                loc_to[ti] = zoom_hist[j0:it, ti].mean(axis=0)
+            freeze = has_loop | (active & (it == iters - 1))
+            active &= ~freeze
         history.append(loc_to.copy())
 
     return np.stack(history, axis=0)

@@ -19,12 +19,16 @@ scalars so one compilation serves every image pair with the same padded
 bucket shape.
 
 Semantics notes vs the reference:
-* ``converge_iters`` extra iterations run at the final zoom with an
-  exact-equality freeze (refinement_task.py:160-167). The reference's
-  loop-averaging for >2-cycles (find_prediction_loop,
-  inference_helper.py:22-28) is approximated by freezing on the first
-  revisit; all published demos use converge_iters=1 where both behaviors
-  are identical.
+* ``converge_iters`` extra iterations run at the final zoom with the
+  reference's EXACT convergence rule (refinement_task.py:160-182 +
+  find_prediction_loop, inference_helper.py:22-28): per-task history of
+  final-zoom predictions is kept in the scan carry; on the first exact
+  revisit the prediction loop [first match .. previous] is averaged and the
+  task freezes; tasks reaching the iteration cap freeze on their last value
+  (still loop-averaged if the cap step itself revisits).
+* The returned history has ONE ROW PER ZOOM LEVEL (the final row being the
+  converged/loop-averaged value), exactly like the reference's
+  ``loc_history`` (refinement_task.py:43,179) which feeds the std filter.
 * Patch sizes: size = 2 * floor(short * clip(scale,0,1) / 2), upper-left
   clamped inside the image — bit-identical to the reference for positive
   coordinates.
@@ -46,8 +50,9 @@ from cotr_tpu.utils.constants import BASE_ZOOM, MAX_SIZE
 
 class RefineState(NamedTuple):
     loc_to: jnp.ndarray      # (T, 2) current target estimate, pixels
-    prev_loc: jnp.ndarray    # (T, 2) previous estimate (for convergence)
     frozen: jnp.ndarray      # (T,) bool — converged at final zoom
+    hist: jnp.ndarray        # (C, T, 2) final-zoom prediction history
+                             # (loc_to_at_zoom, refinement_task.py:42,159)
 
 
 def patch_box(pos: jnp.ndarray, scale: jnp.ndarray, h: jnp.ndarray,
@@ -85,11 +90,15 @@ def _refine_scan(apply_fn, params, img_a: jnp.ndarray, img_b: jnp.ndarray,
     """Device-side refinement over ``zooms`` steps.
 
     apply_fn(params, canvas, queries) -> (T, 1, 2).
-    Returns loc_to history stacked (Z, T, 2) plus final state.
+    Returns the per-zoom-LEVEL history (len(zoom_ins), T, 2) — one row per
+    level, final row converged/loop-averaged (loc_history semantics,
+    refinement_task.py:179) — plus the final state.
     """
     t = loc_from.shape[0]
     h_a, w_a = hw_a[0], hw_a[1]
     h_b, w_b = hw_b[0], hw_b[1]
+    # converge iterations available at the final zoom (static)
+    c_iters = int(zooms.shape[0]) - final_start
 
     def step(state: RefineState, inputs):
         zoom, step_idx = inputs
@@ -121,21 +130,47 @@ def _refine_scan(apply_fn, params, img_a: jnp.ndarray, img_b: jnp.ndarray,
         new_y = pred[:, 1] * size_t + y0t
         new_loc = jnp.stack([new_x, new_y], axis=-1)
 
-        # final-zoom convergence: freeze once the prediction repeats exactly
+        # --- final-zoom convergence (refinement_task.py:160-182) ---------
+        # kf = iteration index within the final zoom; hist[j] holds the
+        # j-th final-zoom prediction (loc_to_at_zoom).
         at_final = step_idx >= final_start
-        converged = jnp.all(new_loc == state.loc_to, axis=-1) & at_final
-        frozen = state.frozen | converged
-        keep = state.frozen[:, None]
-        out_loc = jnp.where(keep, state.loc_to, new_loc)
-        new_state = RefineState(loc_to=out_loc, prev_loc=state.loc_to,
-                                frozen=frozen)
+        kf = step_idx - final_start
+        jidx = jnp.arange(c_iters)
+        valid_j = (jidx < kf)[:, None]                        # (C, 1)
+        # exact-equality revisit: new_loc == some earlier final-zoom loc
+        eq = jnp.all(state.hist == new_loc[None], axis=-1) & valid_j  # (C, T)
+        has_loop = jnp.any(eq, axis=0)                        # (T,)
+        # find_prediction_loop (inference_helper.py:22-28): average
+        # hist[first_match .. kf-1]
+        j_start = jnp.argmax(eq, axis=0)                      # first match
+        loop_mask = (jidx[:, None] >= j_start[None, :]) & valid_j  # (C, T)
+        cnt = jnp.maximum(loop_mask.sum(axis=0), 1)
+        loop_mean = (jnp.where(loop_mask[..., None], state.hist, 0.0)
+                     .sum(axis=0) / cnt[:, None].astype(state.hist.dtype))
+        converged_val = jnp.where(has_loop[:, None], loop_mean, new_loc)
+        freeze_now = at_final & ~state.frozen & (has_loop | (kf == c_iters - 1))
+
+        out_loc = jnp.where(
+            state.frozen[:, None], state.loc_to,
+            jnp.where(freeze_now[:, None], converged_val, new_loc))
+        # record the raw prediction in the final-zoom history
+        write = (jidx[:, None] == kf) & (at_final & ~state.frozen)[None, :]
+        new_hist = jnp.where(write[..., None], new_loc[None], state.hist)
+        new_state = RefineState(loc_to=out_loc,
+                                frozen=state.frozen | freeze_now,
+                                hist=new_hist)
         return new_state, out_loc
 
     init = RefineState(loc_to=loc_to0,
-                       prev_loc=jnp.full_like(loc_to0, -1e9),
-                       frozen=jnp.zeros((t,), bool))
+                       frozen=jnp.zeros((t,), bool),
+                       hist=jnp.full((c_iters, t, 2), jnp.inf,
+                                     loc_to0.dtype))
     steps = jnp.arange(zooms.shape[0], dtype=jnp.int32)
-    final, history = jax.lax.scan(step, init, (zooms, steps))
+    final, per_step = jax.lax.scan(step, init, (zooms, steps))
+    # per-level history: non-final levels emit exactly one step each;
+    # the final level's entry is the converged value.
+    history = jnp.concatenate([per_step[:final_start],
+                               final.loc_to[None]], axis=0)
     return history, final
 
 
@@ -201,8 +236,8 @@ class BatchRefiner:
                ) -> np.ndarray:
         """Run the full zoom schedule for T tasks.
 
-        Returns the loc_to history (Z, T, 2) as numpy (Z includes the
-        converge iterations at the final zoom).
+        Returns the per-zoom-level loc_to history (len(zoom_ins), T, 2) as
+        numpy; the final row is the converged (loop-averaged) estimate.
         """
         zooms = zoom_schedule(zoom_ins, converge_iters)
         history, _ = self._refine(
