@@ -30,6 +30,11 @@ class ImageMeta:
     t: Translation
     camera_id: int
     image_path: str
+    # sorted unique 3D point ids observed by this image (covisibility mode
+    # only; colmap_helper.py:147-156)
+    point3d_id: Optional[np.ndarray] = None
+    # (x, y) keypoints with valid 3D ids, aligned with point3d index order
+    points2d_xy: Optional[np.ndarray] = None
 
 
 def read_cameras_txt(path: str) -> Dict[int, PinholeCamera]:
@@ -56,11 +61,14 @@ def read_cameras_txt(path: str) -> Dict[int, PinholeCamera]:
 
 def read_images_meta(path: str, images_dir: str,
                      valid_list: Optional[Set[str]] = None,
-                     require_files: bool = True) -> Dict[int, ImageMeta]:
+                     require_files: bool = True,
+                     covisibility: bool = False) -> Dict[int, ImageMeta]:
     """images.txt parser (colmap_helper.py:117-162, 246-293).
 
     When ``valid_list`` is given, images whose path relative to the dataset
-    root (4 levels above the image file) is absent are skipped.
+    root (4 levels above the image file) is absent are skipped. With
+    ``covisibility``, the POINTS2D line is parsed into the observed 3D point
+    ids + keypoints (reference COVISIBILITY_CHECK, colmap_helper.py:147-156).
     """
     metas: Dict[int, ImageMeta] = {}
     with open(path) as fid:
@@ -74,7 +82,14 @@ def read_images_meta(path: str, images_dir: str,
         for _ in range(num):
             elems = fid.readline().split()
             assert len(elems) == 10, elems
-            fid.readline()  # POINTS2D line (covisibility data unused)
+            p2d_line = fid.readline()  # POINTS2D[] as (X, Y, POINT3D_ID)
+            point3d_id = points2d_xy = None
+            if covisibility:
+                vals = np.asarray(list(map(float, p2d_line.split())),
+                                  np.float64).reshape(-1, 3)
+                obs = vals[vals[:, 2] != -1]
+                point3d_id = np.sort(np.unique(obs[:, 2].astype(np.int64)))
+                points2d_xy = obs[:, :2]
             image_path = os.path.join(images_dir, elems[9])
             if valid_list is not None:
                 prefix = os.path.abspath(
@@ -91,8 +106,27 @@ def read_images_meta(path: str, images_dir: str,
                 image_id,
                 Rotation(np.array([qw, qx, qy, qz], np.float32)),
                 Translation(np.array([tx, ty, tz], np.float32)),
-                int(elems[8]), image_path)
+                int(elems[8]), image_path,
+                point3d_id=point3d_id, points2d_xy=points2d_xy)
     return metas
+
+
+def read_points3d_meta(path: str) -> Dict[int, np.ndarray]:
+    """points3D.txt -> {point3d_id: observing image ids} from the TRACK
+    columns (reference PointMeta/LOAD_PCD path, colmap_helper.py:44-76)."""
+    meta: Dict[int, np.ndarray] = {}
+    with open(path) as fid:
+        assert fid.readline() == "# 3D point list with one line of data per point:\n"
+        assert fid.readline() == ("#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                                  "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
+        line = fid.readline()
+        num = int(re.findall(r"[-+]?\d*\.\d+|\d+", line)[0])
+        for _ in range(num):
+            elems = fid.readline().split()
+            pid = int(elems[0])
+            track = np.asarray(list(map(int, elems[8:]))).reshape(-1, 2)
+            meta[pid] = np.unique(track[:, 0])
+    return meta
 
 
 def read_points3d_txt(path: str) -> np.ndarray:
@@ -152,10 +186,11 @@ class ColmapWithDepthAsciiReader(ColmapAsciiReader):
 
     @classmethod
     def read_sfm_scene(cls, scene_dir: str, images_dir: str, depth_dir: str,
-                       crop_cam="no_crop") -> SfmScene:
+                       crop_cam="no_crop", covisibility: bool = False
+                       ) -> SfmScene:
         cameras = read_cameras_txt(os.path.join(scene_dir, "cameras.txt"))
         metas = read_images_meta(os.path.join(scene_dir, "images.txt"),
-                                 images_dir)
+                                 images_dir, covisibility=covisibility)
         captures = []
         for m in metas.values():
             try:
@@ -169,8 +204,14 @@ class ColmapWithDepthAsciiReader(ColmapAsciiReader):
                                      cameras[m.camera_id],
                                      CameraPose(m.t, m.r), crop_cam)
             cap.image_id = m.image_id
+            if covisibility:
+                cap.point3d_id = m.point3d_id
             captures.append(cap)
-        return SfmScene(captures)
+        point_meta = None
+        if covisibility:
+            point_meta = read_points3d_meta(
+                os.path.join(scene_dir, "points3D.txt"))
+        return SfmScene(captures, point_meta=point_meta)
 
     @classmethod
     def read_sfm_scene_given_valid_list_path(

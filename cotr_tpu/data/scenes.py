@@ -16,9 +16,12 @@ from cotr_tpu.utils.constants import VALID_NN_OVERLAPPING_THRESH
 class SfmScene:
     """Capture list + path/id/fname -> index lookups (sfm_scenes.py:18-86)."""
 
-    def __init__(self, captures: List, point_cloud: Optional[np.ndarray] = None):
+    def __init__(self, captures: List, point_cloud: Optional[np.ndarray] = None,
+                 point_meta: Optional[Dict[int, np.ndarray]] = None):
         self.captures = captures
         self.point_cloud = point_cloud
+        # {point3d_id: observing image ids} for covisibility lookups
+        self.point_meta = point_meta
         self.img_path_to_index_dict: Dict[str, int] = {}
         self.img_id_to_index_dict: Dict[int, int] = {}
         self.fname_to_index_dict: Dict[str, int] = {}
@@ -43,6 +46,21 @@ class SfmScene:
 
     def get_captures_given_index_list(self, index_list):
         return [self.captures[i] for i in index_list]
+
+    def get_covisible_caps(self, cap) -> List:
+        """Captures sharing at least one 3D point with ``cap``
+        (sfm_scenes.py:60-72). Requires the scene to be read with
+        ``covisibility=True`` so captures carry ``point3d_id`` and the scene
+        carries ``point_meta``."""
+        assert cap.img_path in self.img_path_to_index_dict
+        assert self.point_meta is not None, (
+            "scene was not read with covisibility=True")
+        covis_img_id = set()
+        for pid in cap.point3d_id:
+            covis_img_id.update(self.point_meta[int(pid)].tolist())
+        return [self.captures[self.img_id_to_index_dict[i]]
+                for i in sorted(covis_img_id)
+                if i in self.img_id_to_index_dict]
 
     def read_data_to_ram(self, data_list) -> float:
         """Bulk preload; returns MB loaded (sfm_scenes.py:74-86)."""

@@ -167,6 +167,14 @@ class CameraPose:
     def forward(self):
         return self.camera_to_world[:3, 2]
 
+    @property
+    def essential_matrix(self) -> np.ndarray:
+        """Row-wise cross product of R with the camera center, normalized
+        (reference camera_pose.py:141-144)."""
+        rot = self.world_to_camera[:3, :3]
+        e = np.cross(rot, self.camera_center_in_world)
+        return e / np.linalg.norm(e)
+
     def __str__(self):
         return f"CameraPose(center={self.camera_center_in_world})"
 

@@ -89,7 +89,7 @@ class SparseEngine:
 
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
-                 image_bucket: int = 256, seed: int = 0):
+                 image_bucket: int = 256, seed: int = 0, crop_dtype=None):
         # batch_size bounds canvases per device dispatch: each canvas costs
         # ~8 MB of encoder attention temps per layer (f32), so very large
         # batches exhaust HBM with no throughput benefit
@@ -98,7 +98,14 @@ class SparseEngine:
         self.batch_size = batch_size
         self.mode = mode
         self.task_bucket = task_bucket
-        self.refiner = BatchRefiner(runner, bucket=image_bucket)
+        # crops in the model's compute dtype: the PIL-filter matmuls over
+        # megapixel sources are a large share of refinement FLOPs, and fp32
+        # crops feeding a bf16 model waste 4x MXU throughput
+        self.crop_dtype = crop_dtype if crop_dtype is not None else \
+            jnp.dtype(getattr(getattr(runner.model, "cfg", None), "dtype",
+                              "float32"))
+        self.refiner = BatchRefiner(runner, bucket=image_bucket,
+                                    crop_dtype=self.crop_dtype)
         self.rng = np.random.RandomState(seed)
         self.total_tasks = 0
 
@@ -374,13 +381,14 @@ class FasterSparseEngine(SparseEngine):
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
                  image_bucket: int = 256, seed: int = 0, max_load: int = 256,
-                 mesh=None):
+                 mesh=None, crop_dtype=None):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
-                         seed)
+                         seed, crop_dtype=crop_dtype)
         self.max_load = max_load
         from cotr_tpu.inference.grouped import GroupedStepper
         # mesh: shard the squad axis across devices (multi-chip inference)
-        self._stepper = GroupedStepper(runner, mesh=mesh)
+        self._stepper = GroupedStepper(runner, crop_dtype=self.crop_dtype,
+                                       mesh=mesh)
 
     @classmethod
     def from_config(cls, runner: ModelRunner, cfg, **kw):

@@ -124,11 +124,19 @@ class GroupedStepper:
                 out_shardings=gsh)
 
     def __call__(self, img_a, img_b, boxes_from, boxes_to, queries):
-        return np.asarray(self._step(
+        return np.asarray(self.dispatch(img_a, img_b, boxes_from, boxes_to,
+                                        queries))
+
+    def dispatch(self, img_a, img_b, boxes_from, boxes_to, queries):
+        """Enqueue one step WITHOUT synchronizing; returns the device array.
+        Chunks within a zoom level are independent, so the engine dispatches
+        them all and materializes afterwards — host-side squad building for
+        chunk k+1 overlaps device compute for chunk k."""
+        return self._step(
             self.runner.params, img_a, img_b,
             jnp.asarray(boxes_from, jnp.float32),
             jnp.asarray(boxes_to, jnp.float32),
-            jnp.asarray(queries, jnp.float32)))
+            jnp.asarray(queries, jnp.float32))
 
 
 def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
@@ -150,17 +158,21 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
     x0t_all, y0t_all, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
     members_of = [np.where(squad_of == gi)[0] for gi in range(g)]
 
+    # dispatch every chunk first (device queue), materialize afterwards:
+    # squad/query building for chunk k+1 overlaps device compute of chunk k
+    inflight = []
     for start in range(0, g, group_cap):
         end = min(start + group_cap, g)
         gc = end - start
         m_max = max((len(members_of[gi]) for gi in range(start, end)),
                     default=1)
-        m_pad = member_bucket
-        while m_pad < m_max:
-            m_pad *= 2
-        g_pad = group_bucket
-        while g_pad < gc:
-            g_pad *= 2
+        # shape stability: exactly two bucket sizes per axis, so every
+        # possible dispatch hits one of four precompiled shapes — member
+        # counts vary with the squad-formation RNG, and a data-dependent
+        # ladder of shapes caused fresh XLA compiles mid-run
+        m_pad = member_bucket if m_max <= member_bucket \
+            else max(max_load, member_bucket)
+        g_pad = group_bucket if gc <= group_bucket else group_cap
 
         queries = np.zeros((g_pad, m_pad, 2), np.float32)
         member_ids = np.full((g_pad, m_pad), -1, int)
@@ -183,14 +195,20 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
         boxes_from[gc:, 2:] = 2.0  # degenerate but valid padding boxes
         boxes_to[gc:, 2:] = 2.0
 
-        preds = stepper(img_a_dev, img_b_dev, boxes_from, boxes_to, queries)
-
-        # denormalize through each squad's target patch, vectorized
-        # (scale_to_loc, refinement_task.py:145-151)
+        # fake steppers in tests may only implement __call__ (sync)
+        dispatch = getattr(stepper, "dispatch", stepper)
+        preds_dev = dispatch(img_a_dev, img_b_dev, boxes_from,
+                             boxes_to, queries)
         x0t_rows = np.zeros(g_pad)
         y0t_rows = np.zeros(g_pad)
         x0t_rows[:gc] = x0t_all[start:end]
         y0t_rows[:gc] = y0t_all[start:end]
+        inflight.append((preds_dev, member_ids, x0t_rows, y0t_rows))
+
+    for preds_dev, member_ids, x0t_rows, y0t_rows in inflight:
+        preds = np.asarray(preds_dev)
+        # denormalize through each squad's target patch, vectorized
+        # (scale_to_loc, refinement_task.py:145-151)
         new_x = (preds[..., 0] - 0.5) * 2 * st + x0t_rows[:, None]
         new_y = preds[..., 1] * st + y0t_rows[:, None]
         sel = member_ids >= 0
@@ -205,7 +223,7 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
                    s_from: float, s_to: float, zoom_ins: Sequence[float],
                    rng: np.random.RandomState, converge_iters: int = 1,
                    max_load: int = 256, group_bucket: int = 8,
-                   member_bucket: int = 64, group_cap: int = 64
+                   member_bucket: int = 64, group_cap: int = 128
                    ) -> np.ndarray:
     """Zoom-major grouped refinement over all tasks.
 

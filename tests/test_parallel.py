@@ -7,6 +7,7 @@ import pytest
 
 from cotr_tpu import COTRConfig, TrainConfig, build_model
 from cotr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cotr_tpu.parallel.opt_shard import opt_state_shardings, shard_opt_state
 from cotr_tpu.parallel.tp import make_2d_mesh, transformer_param_shardings
 from cotr_tpu.training.train_step import (TrainState, create_train_state,
                                           make_train_step)
@@ -40,7 +41,12 @@ def test_tp_matches_dp_loss():
             shardings = {"params": transformer_param_shardings(
                 state.params["params"], mesh)}
             params = jax.device_put(state.params, shardings)
-            step_v, opt = replicate((state.step, state.opt_state), mesh)
+            # Adam moments follow params (TP) + ZeRO-1 over 'data' for the
+            # replicated ones — must not change the math
+            opt = shard_opt_state(state.opt_state, state.params["params"],
+                                  shardings["params"], mesh,
+                                  zero1_axis="data")
+            (step_v,) = replicate((state.step,), mesh)
             state = TrainState(step_v, params, opt)
         step = make_train_step(model, tx, train_cfg, mesh)
         sharded = shard_batch(jbatch, mesh)
@@ -71,3 +77,51 @@ def test_tp_sharding_specs():
     assert tr["ffn"]["linear2"]["kernel"].spec == P("model", None)
     assert tr["norm1"]["scale"].spec == P()
     assert sh["backbone"]["body"]["conv1"]["kernel"].spec == P()
+
+
+def test_opt_state_shardings_follow_params():
+    """Adam mu/nu inherit each parameter's TP sharding; with ZeRO-1, moments
+    of replicated params shard their largest divisible dim over 'data';
+    scalars (counts) stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from cotr_tpu.training.train_step import create_train_state
+
+    model_cfg = COTRConfig(enc_layers=1, dec_layers=1, dropout=0.0)
+    train_cfg = TrainConfig(batch_size=8)
+    model = build_model(model_cfg)
+    rng = np.random.RandomState(0)
+    jbatch = {
+        "image": jnp.zeros((8, 256, 512, 3), jnp.float32),
+        "queries": jnp.asarray(
+            rng.uniform(0.05, 0.45, (8, 4, 2)).astype(np.float32)),
+        "targets": jnp.asarray(
+            rng.uniform(0.55, 0.95, (8, 4, 2)).astype(np.float32)),
+    }
+    state, _ = create_train_state(model, train_cfg, jax.random.PRNGKey(0),
+                                  jbatch)
+    mesh = make_2d_mesh(8, model_parallel=2)
+    psh = transformer_param_shardings(state.params["params"], mesh)
+    osh = opt_state_shardings(state.opt_state, state.params["params"], psh,
+                              mesh, zero1_axis="data")
+
+    from cotr_tpu.parallel.opt_shard import _names
+
+    found = {"tp_kernel": 0, "zero1": 0, "scalar": 0}
+    flat = jax.tree_util.tree_leaves_with_path(osh)
+    for path, sh in flat:
+        names = list(_names(path))
+        spec = tuple(sh.spec)
+        if "q_proj" in names and names[-1] == "kernel":
+            assert spec == (None, "model"), (names, spec)
+            found["tp_kernel"] += 1
+        if names[-1] == "count" or names[-1] == "notfinite_count":
+            assert spec == (), (names, spec)
+            found["scalar"] += 1
+        if "corr_embed" in names and names[-1] == "kernel":
+            # replicated param -> ZeRO-1 data-sharded moment
+            assert "data" in spec, (names, spec)
+            found["zero1"] += 1
+    assert found["tp_kernel"] >= 2  # mu and nu
+    assert found["zero1"] >= 2
+    assert found["scalar"] >= 1

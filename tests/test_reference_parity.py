@@ -1,0 +1,191 @@
+"""Adversarial parity: cotr_tpu vs the REFERENCE implementation itself.
+
+These tests import the reference's own PyTorch code from /root/reference
+(via tests/ref_loader.py stubs) and run it head-to-head against the Flax
+framework with identical weights — replacing the round-1 self-written-oracle
+evidence with the reference as its own oracle:
+
+* model forward: reference ``COTR.forward`` (cotr_model.py:26-40) vs
+  ``COTRModel.apply`` through the checkpoint converter;
+* checkpoint-key manifest: the converter's torch state dict must load into
+  the reference model (proving the released ``checkpoint.pth.tar`` layout is
+  what the converter expects);
+* engine level: reference ``SparseEngine.cotr_corr_multiscale``
+  (sparse_engine.py:197-233) driving real ``RefinementTask`` zoom recursion
+  vs the TPU engine's batched scan, same weights, same images, <1px.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from cotr_tpu import COTRConfig, build_model
+from cotr_tpu.inference.engine import FasterSparseEngine, SparseEngine
+from cotr_tpu.inference.runner import ModelRunner
+from cotr_tpu.models.torch_convert import (flax_to_torch_state_dict,
+                                           torch_state_dict_to_flax)
+from tests.ref_loader import build_reference_model, load_reference
+
+ENC, DEC = 2, 2  # reduced depth: full resnet50 backbone, faster transformer
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    return build_reference_model(enc_layers=ENC, dec_layers=DEC, seed=11)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return COTRConfig(enc_layers=ENC, dec_layers=DEC, dropout=0.0)
+
+
+@pytest.fixture(scope="module")
+def flax_setup(ref_model, cfg):
+    params = torch_state_dict_to_flax(
+        {k: v for k, v in ref_model.state_dict().items()}, cfg)
+    model = build_model(cfg)
+    return model, params
+
+
+def _smooth_image(rng, h, w, seed_shape=(16, 16)):
+    """Deterministic smooth uint8 test image (structure at crop scales)."""
+    import PIL.Image
+
+    small = rng.uniform(0, 255, seed_shape + (3,)).astype(np.uint8)
+    img = PIL.Image.fromarray(small).resize((w, h), PIL.Image.BILINEAR)
+    return np.asarray(img)
+
+
+def test_state_dict_loads_into_reference_model(ref_model, cfg, flax_setup):
+    """Converter output must load into the reference model itself: every
+    exported key exists there with the right shape; the only reference keys
+    the converter does not produce are the decoder's unused ``norm1``
+    (defined but never called, reference transformer.py:173,185-201) and
+    the backbone tail behind layer3 (never executed,
+    IntermediateLayerGetter truncation, backbone.py:71)."""
+    _, params = flax_setup
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in flax_to_torch_state_dict(params, cfg).items()}
+    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+    assert not unexpected, f"converter exports unknown keys: {unexpected[:5]}"
+    allowed = ("decoder.layers" , "norm1")
+    for m in missing:
+        ok = ("norm1" in m and "decoder" in m) or "layer4" in m \
+            or m.startswith("backbone.0.body.fc") \
+            or "num_batches_tracked" in m
+        assert ok, f"converter fails to produce reference key: {m}"
+
+
+def test_model_forward_parity_vs_reference(ref_model, cfg, flax_setup):
+    model, params = flax_setup
+    rng = np.random.RandomState(5)
+    canvas = rng.uniform(-2, 2, (2, 256, 512, 3)).astype(np.float32)
+    queries = rng.uniform(0.02, 0.98, (2, 7, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        theirs = ref_model(torch.from_numpy(canvas.transpose(0, 3, 1, 2)),
+                           torch.from_numpy(queries))["pred_corrs"].numpy()
+    ours = np.asarray(model.apply(params, canvas, queries))
+    err = np.abs(ours - theirs).max()
+    # <1px on the 512-wide canvas = 1/512 ~ 2e-3 normalized; demand tighter
+    assert err < 2e-4, f"max deviation vs reference forward: {err}"
+
+
+@pytest.fixture(scope="module")
+def engines(ref_model, cfg, flax_setup):
+    load_reference()
+    from COTR.inference.sparse_engine import SparseEngine as RefEngine
+
+    model, params = flax_setup
+    runner = ModelRunner(model, params)
+    ours = SparseEngine(runner, batch_size=64, mode="tile", task_bucket=8)
+    theirs = RefEngine(ref_model, 32, mode="tile")
+    return ours, theirs
+
+
+def test_engine_parity_known_scale_path(engines):
+    """areas=[1,1] path (sparse_engine.py:100-113): corr_base seeding +
+    full RefinementTask zoom recursion vs the batched scan. Same weights,
+    deterministic, <1px everywhere."""
+    ours, theirs = engines
+    rng = np.random.RandomState(3)
+    img_a = _smooth_image(rng, 256, 256)
+    img_b = _smooth_image(rng, 256, 256)
+    queries = rng.uniform(40, 216, (6, 2)).astype(np.float64)
+    kw = dict(zoom_ins=[0.5, 0.25], converge_iters=2, max_corrs=6,
+              queries_a=queries, force=True, areas=[1.0, 1.0])
+
+    ref_corrs = theirs.cotr_corr_multiscale(img_a, img_b, **kw)
+    our_corrs = ours.cotr_corr_multiscale(img_a, img_b, **kw)
+    assert ref_corrs.shape == our_corrs.shape == (6, 4)
+    np.testing.assert_array_equal(ref_corrs[:, :2], our_corrs[:, :2])
+    err = np.abs(ref_corrs[:, 2:] - our_corrs[:, 2:])
+    assert err.max() < 1.0, f"engine deviation vs reference: {err.max():.3f}px"
+    assert err.mean() < 0.3, f"mean deviation {err.mean():.3f}px"
+
+
+def test_engine_parity_dense_seeded_path(engines):
+    """Full pipeline parity including the dense seed pass (cotr_flow),
+    confidence-masked seeding with user queries, zoom refinement and the
+    std+border conclude filters (force=False)."""
+    ours, theirs = engines
+    rng = np.random.RandomState(9)
+    img_a = _smooth_image(rng, 256, 256)
+    img_b = _smooth_image(rng, 256, 256)
+    queries = rng.uniform(40, 216, (5, 2)).astype(np.float64)
+    kw = dict(zoom_ins=[0.5], converge_iters=1, max_corrs=5,
+              queries_a=queries, force=False)
+
+    ref_out = theirs.cotr_corr_multiscale(img_a, img_b, return_idx=True, **kw)
+    our_out = ours.cotr_corr_multiscale(img_a, img_b, return_idx=True, **kw)
+    ref_corrs, ref_idx = ref_out
+    our_corrs, our_idx = our_out
+    # same tasks survive the same filters, in the same identifier order
+    # (with untrained weights the std filter may reject everything — the
+    # *agreement* on who survives is the assertion; value parity with
+    # guaranteed survivors is test_engine_parity_dense_seeded_values)
+    np.testing.assert_array_equal(ref_idx, our_idx)
+    assert len(ref_corrs) == len(our_corrs)
+    if len(ref_corrs):
+        np.testing.assert_array_equal(ref_corrs[:, :2], our_corrs[:, :2])
+        err = np.abs(ref_corrs[:, 2:] - our_corrs[:, 2:])
+        assert err.max() < 1.0, f"max deviation {err.max():.3f}px"
+
+
+def test_engine_parity_dense_seeded_values(ref_model, cfg):
+    """Dense-seeded pipeline with guaranteed survivors: the corr head is
+    re-biased (in BOTH models identically) to predict the target-image
+    center, producing the smooth flow of a trained model, so every forced
+    task concludes; the full coordinate plumbing (dense grid, [-1,1] remap,
+    field resizes, seed lookup, patch denorm, border filter) must agree to
+    <1px."""
+    import copy
+
+    import torch.nn as nn
+
+    from COTR.inference.sparse_engine import SparseEngine as RefEngine
+
+    ref2 = copy.deepcopy(ref_model)
+    with torch.no_grad():
+        ref2.corr_embed.layers[2].weight.zero_()
+        ref2.corr_embed.layers[2].bias.copy_(torch.tensor([0.75, 0.5]))
+    params2 = torch_state_dict_to_flax(
+        {k: v for k, v in ref2.state_dict().items()}, cfg)
+    model2 = build_model(cfg)
+    ours = SparseEngine(ModelRunner(model2, params2), batch_size=64,
+                        mode="tile", task_bucket=8)
+    theirs = RefEngine(ref2, 32, mode="tile")
+
+    rng = np.random.RandomState(9)
+    img_a = _smooth_image(rng, 256, 256)
+    img_b = _smooth_image(rng, 256, 256)
+    queries = rng.uniform(40, 216, (5, 2)).astype(np.float64)
+    kw = dict(zoom_ins=[0.5], converge_iters=1, max_corrs=5,
+              queries_a=queries, force=True)
+
+    ref_corrs = theirs.cotr_corr_multiscale(img_a, img_b, **kw)
+    our_corrs = ours.cotr_corr_multiscale(img_a, img_b, **kw)
+    assert ref_corrs.shape == our_corrs.shape == (5, 4)
+    np.testing.assert_array_equal(ref_corrs[:, :2], our_corrs[:, :2])
+    err = np.abs(ref_corrs[:, 2:] - our_corrs[:, 2:])
+    assert err.max() < 1.0, f"max deviation {err.max():.3f}px"
