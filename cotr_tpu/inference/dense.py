@@ -121,9 +121,13 @@ def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
 def _resize_field_host(field: np.ndarray, shape_hw: Tuple[int, int]
                        ) -> np.ndarray:
     """Per-channel PIL BILINEAR resize of a float field on the host
-    (reference utils.float_image_resize, utils/utils.py:69-83)."""
+    (reference utils.float_image_resize, utils/utils.py:69-83). Accepts
+    (H, W) or (H, W, C)."""
     import PIL.Image
 
+    if field.ndim == 2:
+        return np.array(PIL.Image.fromarray(field).resize(
+            shape_hw[::-1], resample=PIL.Image.BILINEAR))
     chans = [np.array(PIL.Image.fromarray(field[..., c]).resize(
         shape_hw[::-1], resample=PIL.Image.BILINEAR))
         for c in range(field.shape[-1])]

@@ -1,0 +1,137 @@
+"""Engine modes on NON-SQUARE images: tile (2-patch exhaustive merge) and
+stretching (host field resizes) — the round-1 untested coordinate-risk paths
+(VERDICT.md weak #4).
+
+Method: an identity stub model. Its decode predicts the same position in the
+other canvas half (exact identity correspondence) whenever the two halves
+hold the SAME content, and an out-of-bounds constant otherwise — so
+cross-patch pairs in tile mode produce large cycle errors and lose the
+min-confidence merge (inference_helper.py:61-75), exactly as a trained model
+would. With img_b = img_a, every engine mode must then return the identity
+correspondence; any sign/scale error in the patch affines
+(dense.py:_patch_affine), the stretch resizes (engine.py:_dense_fields), or
+the patch-local query/denorm plumbing (refine.py/grouped.py) breaks identity
+by many pixels.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cotr_tpu.inference.dense import dense_flow, to_square_patches
+from cotr_tpu.inference.engine import FasterSparseEngine, SparseEngine
+
+
+class IdentityModel:
+    """Flax-like .apply supporting encode/decode/full-forward, jit-traceable.
+
+    encode: memory IS the canvas. decode: identity across canvas halves when
+    both halves match, else -1 (out of bounds -> huge cycle error).
+    """
+
+    cfg = None  # engines probe .cfg.dtype; None -> float32 crops
+
+    def apply(self, variables, *args, method=None):
+        if method == "encode":
+            (canvas,) = args
+            return canvas
+        if method == "decode":
+            memory, queries = args
+            return self._decode(memory, queries)
+        canvas, queries = args
+        return self._decode(canvas, queries)
+
+    @staticmethod
+    def _decode(canvas, queries):
+        left = canvas[:, :, :256]
+        right = canvas[:, :, 256:]
+        # "same content" must tolerate the ~1px box offsets the stretching
+        # seed pass introduces (shifted smooth content diffs ~0.2-0.4 in
+        # ImageNet-normalized units; distinct patches differ by ~1.5)
+        same = jnp.mean(jnp.abs(left - right), axis=(1, 2, 3)) < 0.5  # (B,)
+        qx, qy = queries[..., 0], queries[..., 1]
+        ident_x = jnp.where(qx < 0.5, qx + 0.5, qx - 0.5)
+        pred = jnp.stack([ident_x, qy], axis=-1)
+        return jnp.where(same[:, None, None], pred,
+                         jnp.full_like(pred, -1.0))
+
+
+class IdentityRunner:
+    """ModelRunner-compatible facade over IdentityModel."""
+
+    def __init__(self):
+        self.model = IdentityModel()
+        self.params = {}
+
+    def encode(self, canvas):
+        return jnp.asarray(canvas)
+
+    def decode(self, memory, queries):
+        return self.model._decode(memory, jnp.asarray(queries))
+
+    def decode_chunked(self, memory, queries):
+        return self.decode(memory, queries)
+
+    def forward(self, canvas, queries):
+        return self.model.apply({}, jnp.asarray(canvas),
+                                jnp.asarray(queries))
+
+
+@pytest.fixture(scope="module")
+def nonsquare_image():
+    """Smooth non-square (200 x 300) uint8 image, asymmetric content so the
+    two tile patches differ."""
+    import PIL.Image
+
+    rng = np.random.RandomState(7)
+    small = rng.randint(0, 255, (10, 15, 3), np.uint8)
+    return np.asarray(PIL.Image.fromarray(small).resize(
+        (300, 200), PIL.Image.BILINEAR))
+
+
+def test_to_square_patches_nonsquare(nonsquare_image):
+    patches = to_square_patches(nonsquare_image)
+    assert len(patches) == 2
+    assert patches[0].patch.shape == (200, 200, 3)
+    assert (patches[0].x, patches[0].y) == (0, 0)
+    assert (patches[1].x, patches[1].y) == (100, 0)
+
+
+def test_dense_flow_tile_identity_nonsquare(nonsquare_image):
+    """Exhaustive 2x2 patch pairs + affine merge must reproduce the identity
+    flow over the full non-square frame."""
+    runner = IdentityRunner()
+    corr_a, con_a, corr_b, con_b = dense_flow(runner, nonsquare_image,
+                                              nonsquare_image)
+    h, w = nonsquare_image.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w]
+    # identity flow in the other image's [-1, 1] coords
+    exp_x = (xs + 0.5) / w * 2 - 1
+    exp_y = (ys + 0.5) / h * 2 - 1
+    # interior only: patch borders see resize ramp effects
+    sl = np.s_[20:-20, 20:-20]
+    err_x = np.abs(corr_a[..., 0] - exp_x)[sl] * w / 2
+    err_y = np.abs(corr_a[..., 1] - exp_y)[sl] * h / 2
+    assert err_x.max() < 2.0, f"x err {err_x.max():.2f}px"
+    assert err_y.max() < 2.0, f"y err {err_y.max():.2f}px"
+    assert con_a[sl].max() < 0.05  # confident everywhere inside
+
+
+@pytest.mark.parametrize("engine_cls", [SparseEngine, FasterSparseEngine])
+@pytest.mark.parametrize("mode", ["tile", "stretching"])
+def test_engine_identity_nonsquare(nonsquare_image, engine_cls, mode):
+    """Full engine on a non-square pair must return identity correspondences
+    through seeding, zoom refinement and conclude in BOTH modes."""
+    runner = IdentityRunner()
+    engine = engine_cls(runner, batch_size=32, mode=mode, task_bucket=8)
+    rng = np.random.RandomState(3)
+    queries = np.stack([rng.uniform(60, 240, 12),
+                        rng.uniform(60, 140, 12)], axis=1)
+    corrs, idx = engine.cotr_corr_multiscale(
+        nonsquare_image, nonsquare_image, zoom_ins=[0.5, 0.25],
+        max_corrs=12, queries_a=queries, force=False, return_idx=True)
+    assert corrs.shape[0] == 12, f"{mode}: lost tasks {corrs.shape}"
+    err = np.abs(corrs[:, 2:] - corrs[:, :2])
+    assert err.max() < 1.5, (
+        f"{engine_cls.__name__}/{mode}: identity broken by {err.max():.2f}px")
+    np.testing.assert_array_equal(np.sort(idx), np.arange(12))
