@@ -9,10 +9,11 @@ host<->device transfers included. This is the number a user of the reference
 Also reported in ``detail``:
 * ``device_pipeline_q_s`` — the jitted crop+encode+decode step alone (the
   round-1 metric; upper bound of the engine),
-* ``guided_wall_s`` — wall-clock for a guided-matching-sized job
-  (~1k forced queries, 4 zoom levels, both directions with cycle ranking) on
-  the reference sample pair scale; reference baseline: ~79 s on a GTX 1080 Ti
-  with the grouped engine (readme.md:143).
+* ``guided`` — wall-clock for the EXACT reference guided-matching workload
+  (demo_guided_matching.py:36-45: sample cathedral pair + the committed
+  2048-point DISK keypoint sets, both directions, 4 zoom levels);
+  reference baseline: ~79 s on a GTX 1080 Ti with the grouped engine
+  (readme.md:143).
 
 Weights: random backbone/transformer + a corr head biased to the target
 image center. The released checkpoint is not downloadable here (zero
@@ -28,6 +29,7 @@ vs_baseline is against the 50k q/s/chip target (BASELINE.json north_star).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -145,19 +147,41 @@ def main():
         detail["device_pipeline_q_s"] = round(dev_qps, 1)
 
     # ------------------------------------------------- guided-matching job
-    if not args.skip_guided and not args.quick:
-        n_kpts = 1000
-        kpts = imr.uniform(8, 1016, (n_kpts, 2)).astype(np.float64)
+    # the EXACT reference workload (demo_guided_matching.py:36-45 +
+    # readme.md:143): the two sample cathedral images (1033x771 / 694x1061,
+    # non-square -> 2-patch tiling) with their committed 2048-point DISK
+    # keypoint sets, matched both directions at 4 zoom levels, force=True.
+    # Reference: ~79 s on a GTX 1080 Ti with FasterSparseEngine.
+    sample = "/root/reference/sample_data"
+    if not args.skip_guided and not args.quick and os.path.isdir(sample):
+        import PIL.Image
+
+        g_a = np.array(PIL.Image.open(
+            f"{sample}/imgs/21526113_4379776807.jpg").convert("RGB"))
+        g_b = np.array(PIL.Image.open(
+            f"{sample}/imgs/21126421_4537535153.jpg").convert("RGB"))
+        kp_a = np.load(f"{sample}/21526113_4379776807.jpg.disk.kpts.npy")
+        kp_b = np.load(f"{sample}/21126421_4537535153.jpg.disk.kpts.npy")
         zoom4 = list(np.linspace(0.5, 0.0625, 4))
         engine2 = FasterSparseEngine(runner, mode="tile")
+
+        def guided_job():
+            engine2.cotr_corr_multiscale(
+                g_a, g_b, zoom_ins=zoom4, converge_iters=1,
+                max_corrs=kp_a.shape[0], queries_a=kp_a.astype(np.float64),
+                force=True)
+            engine2.cotr_corr_multiscale(
+                g_b, g_a, zoom_ins=zoom4, converge_iters=1,
+                max_corrs=kp_b.shape[0], queries_a=kp_b.astype(np.float64),
+                force=True)
+
+        guided_job()  # warm the per-image-bucket compiles
         t0 = time.time()
-        engine2.cotr_corr_multiscale_with_cycle_consistency(
-            img_a, img_b, zoom_ins=zoom4, converge_iters=1,
-            max_corrs=n_kpts, queries_a=kpts)
+        guided_job()
         guided_dt = time.time() - t0
         detail["guided"] = {
-            "kpts": n_kpts, "zoom_depth": 4, "bidirectional": True,
-            "wall_s": round(guided_dt, 2),
+            "kpts": int(kp_a.shape[0] + kp_b.shape[0]), "zoom_depth": 4,
+            "both_directions": True, "wall_s": round(guided_dt, 2),
             "reference_wall_s_gtx1080ti": 79.0,
             "speedup_vs_reference": round(79.0 / guided_dt, 2)}
 

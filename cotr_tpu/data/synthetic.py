@@ -25,18 +25,28 @@ from cotr_tpu.utils.constants import MAX_SIZE
 
 def _warp_host(img: np.ndarray, h_mat: np.ndarray,
                out_hw) -> np.ndarray:
-    """Inverse bilinear warp on the host (scipy.ndimage)."""
-    from scipy.ndimage import map_coordinates
-
+    """Inverse bilinear warp on the host — vectorized numpy (one fused
+    gather for all channels; ~4x faster than per-channel
+    scipy.map_coordinates, which dominated synthesis time)."""
     oh, ow = out_hw
+    h, w = img.shape[:2]
     ys, xs = np.mgrid[0:oh, 0:ow]
     pts = np.stack([xs.ravel(), ys.ravel(), np.ones(oh * ow)], axis=0)
     src = np.linalg.inv(h_mat) @ pts
-    sx = (src[0] / src[2]).reshape(oh, ow)
-    sy = (src[1] / src[2]).reshape(oh, ow)
-    chans = [map_coordinates(img[..., c], [sy, sx], order=1, mode="nearest")
-             for c in range(img.shape[-1])]
-    return np.stack(chans, axis=-1)
+    sx = np.clip(src[0] / src[2], 0.0, w - 1.0)
+    sy = np.clip(src[1] / src[2], 0.0, h - 1.0)
+    x0 = np.minimum(sx.astype(np.int32), w - 2)
+    y0 = np.minimum(sy.astype(np.int32), h - 2)
+    fx = (sx - x0)[:, None]
+    fy = (sy - y0)[:, None]
+    flat = img.reshape(-1, img.shape[-1])
+    i00 = flat[y0 * w + x0]
+    i01 = flat[y0 * w + x0 + 1]
+    i10 = flat[(y0 + 1) * w + x0]
+    i11 = flat[(y0 + 1) * w + x0 + 1]
+    top = i00 + (i01 - i00) * fx
+    bot = i10 + (i11 - i10) * fx
+    return (top + (bot - top) * fy).reshape(oh, ow, img.shape[-1])
 
 
 class SyntheticHomographyDataset:
@@ -47,7 +57,7 @@ class SyntheticHomographyDataset:
                  length: int = 2048, num_kp: int = 100,
                  bidirectional: bool = True, max_corner_jitter: float = 0.2,
                  seed: int = 0, raw_uint8: bool = True,
-                 max_crop_side: int = 512):
+                 max_crop_side: int = 512, device_warp: bool = False):
         if image_paths is None:
             image_paths = sorted(
                 glob.glob("/root/reference/sample_data/imgs/*.jpg") +
@@ -66,6 +76,12 @@ class SyntheticHomographyDataset:
         self.seed = seed
         self.raw_uint8 = raw_uint8
         self.max_crop_side = max_crop_side
+        # device_warp: emit {crop, h_mat, queries, targets} and leave the
+        # B-side warp + canvas assembly to the jitted train step
+        # (ops.canvas.canvas_from_crops_and_homographies). On a single-core
+        # host the per-sample warp caps the loader at ~2-3 batches/s; this
+        # mode cuts host synthesis to crop+resize plus 3x3 math.
+        self.device_warp = device_warp
 
     def __len__(self):
         return self.length
@@ -90,8 +106,9 @@ class SyntheticHomographyDataset:
         jitter = rng.uniform(-self.max_corner_jitter, self.max_corner_jitter,
                              (4, 2)) * s
         h_mat = homography_from_4pts(corners, corners + jitter)
-        b = _warp_host(a.astype(np.float32), h_mat,
-                       (MAX_SIZE, MAX_SIZE)).astype(np.uint8)
+        if not self.device_warp:
+            b = _warp_host(a.astype(np.float32), h_mat,
+                           (MAX_SIZE, MAX_SIZE)).astype(np.uint8)
 
         # grid correspondences that stay inside both frames
         n_side = int(np.ceil(np.sqrt(self.num_kp * 3)))
@@ -106,5 +123,31 @@ class SyntheticHomographyDataset:
         if corrs.shape[0] < 8:
             return self.__getitem__((index + 1) % len(self))
         corrs = _trim_corrs(corrs, self.num_kp, rng)
-        return _package(a, b, corrs, self.bidirectional, rng,
-                        raw_uint8=self.raw_uint8)
+        if not self.device_warp:
+            return _package(a, b, corrs, self.bidirectional, rng,
+                            raw_uint8=self.raw_uint8)
+
+        # host flip augmentation folded into the homography: flipping both
+        # frames maps B = warp(A, H) to flip(B) = warp(flip(A), F H F)
+        corrs = corrs.astype(np.float64).copy()
+        if rng.uniform() < 0.5:
+            s = MAX_SIZE - 1.0
+            flip = np.array([[-1.0, 0, s], [0, 1, 0], [0, 0, 1]])
+            h_mat = flip @ h_mat @ flip
+            a = np.ascontiguousarray(a[:, ::-1])
+            corrs[:, 0] = s - corrs[:, 0]
+            corrs[:, 2] = s - corrs[:, 2]
+        corrs[:, 2] += MAX_SIZE
+        corrs /= np.array([MAX_SIZE * 2, MAX_SIZE, MAX_SIZE * 2, MAX_SIZE])
+        out = {"crop": a.astype(np.uint8),
+               "h_mat": h_mat.astype(np.float32),
+               "corrs": corrs.astype(np.float32)}
+        if self.bidirectional:
+            out["queries"] = np.concatenate(
+                [corrs[:, :2], corrs[:, 2:]], axis=0).astype(np.float32)
+            out["targets"] = np.concatenate(
+                [corrs[:, 2:], corrs[:, :2]], axis=0).astype(np.float32)
+        else:
+            out["queries"] = corrs[:, :2].astype(np.float32)
+            out["targets"] = corrs[:, 2:].astype(np.float32)
+        return out

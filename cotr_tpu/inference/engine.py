@@ -211,8 +211,8 @@ class SparseEngine:
         level (loc_history semantics, refinement_task.py:43,179)."""
         s_from, s_to = relative_scales(area_a, area_b)
 
-        pyr_a, hw_a = self.refiner.build_pyramid(img_a)
-        pyr_b, hw_b = self.refiner.build_pyramid(img_b)
+        pyr_a, hw_a = self.refiner.prepare_image(img_a)
+        pyr_b, hw_b = self.refiner.prepare_image(img_b)
 
         t = len(loc_from)
         histories = []
@@ -401,8 +401,8 @@ class FasterSparseEngine(SparseEngine):
         from cotr_tpu.inference.grouped import refine_grouped
 
         s_from, s_to = relative_scales(area_a, area_b)
-        pyr_a, hw_a = self.refiner.build_pyramid(img_a)
-        pyr_b, hw_b = self.refiner.build_pyramid(img_b)
+        pyr_a, hw_a = self.refiner.prepare_image(img_a)
+        pyr_b, hw_b = self.refiner.prepare_image(img_b)
         history = refine_grouped(
             self.runner, self._stepper, pyr_a, hw_a, pyr_b, hw_b,
             np.asarray(loc_from, np.float64), np.asarray(loc_to, np.float64),

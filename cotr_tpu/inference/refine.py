@@ -209,7 +209,7 @@ class BatchRefiner:
         out[:h, :w] = img
         return out
 
-    def build_pyramid(self, img: np.ndarray) -> Tuple[Any, Tuple[int, int]]:
+    def prepare_image(self, img: np.ndarray) -> Tuple[Any, Tuple[int, int]]:
         """uint8 or float HWC image -> (padded [0,1] device image, (h, w)).
 
         uint8 uploads as uint8 (4x less tunnel traffic) and converts on
@@ -227,7 +227,7 @@ class BatchRefiner:
                 dev = dev / 255.0
         return dev, (h, w)
 
-    prepare_image = build_pyramid
+
 
     def refine(self, img_a, hw_a, img_b, hw_b,
                loc_from: np.ndarray, loc_to0: np.ndarray,

@@ -41,6 +41,47 @@ def normalize_canvas(canvas: Array) -> Array:
     return (x - mean) / std
 
 
+def warp_homography_batch(images: jnp.ndarray,
+                          h_mats: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-warp a batch of images through per-image homographies on
+    device (bilinear, border-clamped) — jnp twin of
+    ``cotr_tpu.data.synthetic._warp_host`` so synthetic-supervision warps
+    can run inside the jitted train step instead of on the (single-core)
+    host. images (B, H, W, C) float; h_mats (B, 3, 3) mapping src->dst.
+    """
+    b, h, w, c = images.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    pts = jnp.stack([xs.ravel(), ys.ravel(),
+                     jnp.ones(h * w)], axis=0).astype(jnp.float32)
+    src = jnp.linalg.inv(h_mats.astype(jnp.float32)) @ pts[None]  # (B,3,HW)
+    sx = jnp.clip(src[:, 0] / src[:, 2], 0.0, w - 1.0)
+    sy = jnp.clip(src[:, 1] / src[:, 2], 0.0, h - 1.0)
+    x0 = jnp.minimum(sx.astype(jnp.int32), w - 2)
+    y0 = jnp.minimum(sy.astype(jnp.int32), h - 2)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    flat = images.reshape(b, h * w, c)
+    bidx = jnp.arange(b)[:, None]
+    i00 = flat[bidx, y0 * w + x0]
+    i01 = flat[bidx, y0 * w + x0 + 1]
+    i10 = flat[bidx, (y0 + 1) * w + x0]
+    i11 = flat[bidx, (y0 + 1) * w + x0 + 1]
+    top = i00 + (i01 - i00) * fx
+    bot = i10 + (i11 - i10) * fx
+    return (top + (bot - top) * fy).reshape(b, h, w, c)
+
+
+def canvas_from_crops_and_homographies(crops: jnp.ndarray,
+                                       h_mats: jnp.ndarray) -> jnp.ndarray:
+    """(B, 256, 256, 3) uint8 source crops + (B, 3, 3) homographies ->
+    normalized (B, 256, 512, 3) training canvases, entirely on device:
+    warp B-side, side-by-side, ImageNet-normalize. Device-side synthetic
+    supervision — the host only crops and does 3x3 math."""
+    a = crops.astype(jnp.float32) / 255.0
+    b_img = warp_homography_batch(a, h_mats)
+    return normalize_canvas(jnp.concatenate([a, b_img], axis=2))
+
+
 def denormalize_canvas(canvas: Array) -> Array:
     xp = jnp if isinstance(canvas, jnp.ndarray) else np
     mean = xp.asarray(IMAGENET_MEAN, dtype=xp.float32)
@@ -53,20 +94,3 @@ def make_canvas_batch(crops_a: Array, crops_b: Array) -> Array:
     xp = jnp if isinstance(crops_a, jnp.ndarray) else np
     canvas = xp.concatenate([crops_a, crops_b], axis=2)
     return normalize_canvas(canvas)
-
-
-def canvas_to_local(queries: Array) -> Tuple[Array, Array]:
-    """Split canvas-normalized (x, y) into (side, local) where side=0 marks the
-    left image, and local x is renormalized to [0, 1] within that image."""
-    xp = jnp if isinstance(queries, jnp.ndarray) else np
-    side = (queries[..., 0] >= 0.5).astype(xp.int32)
-    local_x = xp.where(side == 1, (queries[..., 0] - 0.5) * 2,
-                       queries[..., 0] * 2)
-    return side, xp.stack([local_x, queries[..., 1]], axis=-1)
-
-
-def local_to_canvas(local: Array, side: int) -> Array:
-    """Inverse of canvas_to_local for a fixed side (0=left, 1=right)."""
-    xp = jnp if isinstance(local, jnp.ndarray) else np
-    x = local[..., 0] * 0.5 + (0.5 if side == 1 else 0.0)
-    return xp.stack([x, local[..., 1]], axis=-1)

@@ -6,9 +6,9 @@ These replace the native resampling code the reference delegates to:
   flow resampling (reference COTR/inference/inference_helper.py:139,178-181)
   -> :func:`grid_sample`;
 * PIL bilinear crop->256 resampling on the inference hot path (reference
-  refinement_task.py:117-118, utils/utils.py:69-83) -> :func:`crop_and_resize`
-  plus the anti-aliasing pyramid in :func:`build_pyramid` /
-  :func:`crop_and_resize_pyramid`.
+  refinement_task.py:117-118, utils/utils.py:69-83) ->
+  :func:`crop_and_resize_matmul` (exact PIL triangle filter as MXU matmuls;
+  :func:`crop_and_resize` is the simple non-anti-aliased gather variant).
 
 Coordinate conventions:
 
@@ -16,10 +16,9 @@ Coordinate conventions:
   a normalized coordinate g in [-1, 1] maps to pixel coordinate
   ((g + 1) * size - 1) / 2; out-of-range samples use zero padding.
 * ``crop_and_resize`` matches PIL's center-aligned mapping: output pixel
-  center (i + 0.5) maps to input coordinate (i + 0.5) * (in / out) - 0.5.
-  PIL additionally widens the filter when downscaling (anti-aliasing); the
-  pyramid variant approximates that by sampling from a pre-filtered 2x
-  mip level chosen per box.
+  center (i + 0.5) maps to input coordinate (i + 0.5) * (in / out) - 0.5;
+  ``crop_and_resize_matmul`` additionally widens the filter when downscaling
+  exactly as PIL does (anti-aliasing).
 """
 
 from __future__ import annotations
@@ -184,106 +183,3 @@ def crop_and_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray,
                      if compute_dtype == jnp.float32 else None)
     return out.astype(jnp.float32)
 
-
-def pyramid_levels(h: int, w: int, max_levels: int = 5) -> List[Tuple[int, int]]:
-    """Shapes of the 2x mip chain starting at (h, w)."""
-    shapes = [(h, w)]
-    while len(shapes) < max_levels and min(shapes[-1]) >= 2:
-        ph, pw = shapes[-1]
-        shapes.append((max(1, ph // 2), max(1, pw // 2)))
-    return shapes
-
-
-def build_pyramid(image: jnp.ndarray, max_levels: int = 5) -> List[jnp.ndarray]:
-    """Anti-aliased 2x mip chain (each level a box-filtered half image)."""
-    levels = [image]
-    for _ in range(max_levels - 1):
-        prev = levels[-1]
-        h, w = prev.shape[0], prev.shape[1]
-        if min(h, w) < 2:
-            break
-        ph, pw = h // 2 * 2, w // 2 * 2  # drop odd edge rows like a 2x2 box
-        half = prev[:ph, :pw].reshape(ph // 2, 2, pw // 2, 2, -1).mean(axis=(1, 3))
-        levels.append(half)
-    return levels
-
-
-def crop_and_resize_level(pyramid: Sequence[jnp.ndarray], boxes: jnp.ndarray,
-                          out_size: int, level: jnp.ndarray) -> jnp.ndarray:
-    """Anti-aliased crop-and-resize where ALL boxes share one mip level.
-
-    ``level`` is a traced scalar (int32); ``lax.switch`` executes exactly one
-    per-level sampling branch at runtime. This is the fast path for the zoom
-    engine: within a zoom step every task's patch has the same size, so the
-    mip level is shared — sampling one level costs 1x the output gather
-    bandwidth instead of the per-box variant's num_levels x.
-
-    boxes: (N, 4) (x0, y0, w, h) in level-0 pixels.
-    """
-    idx = (jnp.arange(out_size, dtype=pyramid[0].dtype) + 0.5) / out_size
-
-    def make_branch(l):
-        def branch(bx):
-            inv = 0.5 ** l
-
-            def one(box):
-                x0, y0, bw, bh = (box[0] * inv, box[1] * inv,
-                                  box[2] * inv, box[3] * inv)
-                xs = jnp.clip(x0 + idx * bw - 0.5, x0, x0 + bw - 1)
-                ys = jnp.clip(y0 + idx * bh - 0.5, y0, y0 + bh - 1)
-                gx, gy = jnp.meshgrid(xs, ys)
-                return _gather_bilinear(pyramid[l], gx, gy,
-                                        zero_outside=False)
-
-            return jax.vmap(one)(bx)
-
-        return branch
-
-    level = jnp.clip(level, 0, len(pyramid) - 1)
-    return jax.lax.switch(level, [make_branch(l) for l in range(len(pyramid))],
-                          boxes)
-
-
-def mip_level_for(box_size, out_size: int, num_levels: int) -> jnp.ndarray:
-    """Mip level whose downscale factor best matches box_size -> out_size."""
-    scale = box_size / out_size
-    lvl = jnp.floor(jnp.log2(jnp.maximum(scale, 1.0)))
-    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
-
-
-def crop_and_resize_pyramid(pyramid: Sequence[jnp.ndarray], boxes: jnp.ndarray,
-                            out_size: int) -> jnp.ndarray:
-    """Anti-aliased crop-and-resize: per box, bilinear-sample the mip level
-    whose downscale factor best matches the box (GPU-texturing style).
-
-    Approximates the reference's PIL anti-aliased downscale
-    (refinement_task.py:117-118) with statically-shaped gathers.
-    boxes: (N, 4) (x0, y0, w, h) in *level-0* pixel units.
-    """
-    n = boxes.shape[0]
-    num_levels = len(pyramid)
-    # level L shrinks coordinates by 2^L
-    scale_per_box = boxes[:, 2] / out_size  # downscale factor (square boxes)
-    lvl = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(scale_per_box, 1.0))),
-                   0, num_levels - 1).astype(jnp.int32)
-
-    idx = (jnp.arange(out_size, dtype=pyramid[0].dtype) + 0.5) / out_size
-
-    def sample_level(level_img, level_idx, box, box_lvl):
-        inv = 0.5 ** level_idx
-        x0, y0, bw, bh = box[0] * inv, box[1] * inv, box[2] * inv, box[3] * inv
-        xs = jnp.clip(x0 + idx * bw - 0.5, x0, x0 + bw - 1)
-        ys = jnp.clip(y0 + idx * bh - 0.5, y0, y0 + bh - 1)
-        gx, gy = jnp.meshgrid(xs, ys)
-        return _gather_bilinear(level_img, gx, gy, zero_outside=False)
-
-    def one(box, box_lvl):
-        outs = [sample_level(pyramid[l], l, box, box_lvl)
-                for l in range(num_levels)]
-        stacked = jnp.stack(outs)  # (L, out, out, C)
-        return stacked[box_lvl]
-
-    # vmap over boxes; the per-level sampling is computed for all levels and
-    # selected — levels are tiny after the first, so the waste is bounded
-    # (sum of 4^-k < 4/3 of level-0 work).
-    return jax.vmap(one)(boxes, lvl)

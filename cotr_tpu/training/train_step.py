@@ -40,11 +40,27 @@ def _prep_image(image: jnp.ndarray) -> jnp.ndarray:
     return image
 
 
+def batch_canvas(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Resolve the training canvas from either batch layout:
+
+    * ``image``: a ready (B, 256, 512, 3) canvas (uint8 or normalized float);
+    * ``crop`` + ``h_mat``: device-side synthetic supervision — the B side
+      is warped from the source crop INSIDE the jitted step
+      (ops.canvas.canvas_from_crops_and_homographies), halving the
+      host's per-sample synthesis work and the host->device bytes.
+    """
+    if "image" in batch:
+        return _prep_image(batch["image"])
+    from cotr_tpu.ops.canvas import canvas_from_crops_and_homographies
+
+    return canvas_from_crops_and_homographies(batch["crop"], batch["h_mat"])
+
+
 def create_train_state(model, cfg: TrainConfig, rng,
                        sample_batch: Dict[str, jnp.ndarray]
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
-    params = model.init(rng, sample_batch["image"][:1],
-                        sample_batch["queries"][:1])
+    one = {k: v[:1] for k, v in sample_batch.items()}
+    params = model.init(rng, batch_canvas(one), one["queries"])
     tx = build_optimizer(cfg, params["params"])
     opt_state = tx.init(params["params"])
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
@@ -60,7 +76,7 @@ def make_train_step(model, tx, cfg: TrainConfig,
 
     def loss_fn(p, batch, rng):
         loss, metrics = cotr_loss(
-            model, {"params": p}, _prep_image(batch["image"]),
+            model, {"params": p}, batch_canvas(batch),
             batch["queries"], batch["targets"], cycle_consis=cfg.cycle_consis,
             bidirectional=cfg.bidirectional, train=True,
             rngs={"dropout": rng})
@@ -83,11 +99,11 @@ def make_train_step(model, tx, cfg: TrainConfig,
     # State shardings are inherited from the caller's placement (replicated
     # for pure DP via parallel.replicate; tensor-parallel for a 2D mesh via
     # parallel.tp.transformer_param_shardings) — jit preserves them and
-    # GSPMD inserts the collectives. Only the batch layout is pinned here.
+    # GSPMD inserts the collectives. The batch sharding is a pytree PREFIX:
+    # every leaf (image or crop/h_mat layout) shards its leading batch axis.
     return jax.jit(
         step_fn,
-        in_shardings=(None,
-                      {"image": bsh, "queries": bsh, "targets": bsh}, repl),
+        in_shardings=(None, bsh, repl),
         out_shardings=(None,
                        {"loss": repl, "corr_loss": repl, "cycle_loss": repl,
                         "pred": bsh}),
@@ -97,7 +113,7 @@ def make_train_step(model, tx, cfg: TrainConfig,
 
 def make_eval_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None):
     def eval_fn(params, batch):
-        image = _prep_image(batch["image"])
+        image = batch_canvas(batch)
         pred = model.apply(params, image, batch["queries"])
         return {"val_loss": jnp.mean((pred - batch["targets"]) ** 2),
                 "pred": pred}

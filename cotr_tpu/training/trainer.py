@@ -131,7 +131,8 @@ class Trainer:
         losses = []
         first = None
         for batch in self.val_loader():
-            batch = {k: batch[k] for k in ("image", "queries", "targets")}
+            keep = ("image", "queries", "targets", "crop", "h_mat")
+            batch = {k: batch[k] for k in keep if k in batch}
             jbatch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
             out = self._eval_step(self.state.params, jbatch)
@@ -147,7 +148,18 @@ class Trainer:
                 from cotr_tpu.training.tb import draw_corrs
 
                 batch, pred = first
-                img = np.asarray(batch["image"][:4])
+                if "image" in batch:
+                    img = np.asarray(batch["image"][:4])
+                else:
+                    from cotr_tpu.ops.canvas import (
+                        canvas_from_crops_and_homographies,
+                        denormalize_canvas)
+                    import jax.numpy as jnp
+                    img = np.asarray(denormalize_canvas(
+                        canvas_from_crops_and_homographies(
+                            jnp.asarray(batch["crop"][:4]),
+                            jnp.asarray(batch["h_mat"][:4]))))
+                    img = (img * 255).clip(0, 255).astype(np.uint8)
                 q = np.asarray(batch["queries"][:4])
                 gt = np.concatenate([q, np.asarray(batch["targets"][:4])], -1)
                 pd = np.concatenate([q, pred[:4]], -1)
@@ -172,7 +184,8 @@ class Trainer:
                 if step >= self.cfg.max_iter:
                     break
                 rng, sub = jax.random.split(rng)
-                batch = {k: batch[k] for k in ("image", "queries", "targets")}
+                keep = ("image", "queries", "targets", "crop", "h_mat")
+                batch = {k: batch[k] for k in keep if k in batch}
                 batch = shard_batch(
                     jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 self.state, metrics = self._train_step(self.state, batch, sub)

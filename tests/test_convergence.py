@@ -143,7 +143,7 @@ def test_scan_loop_averaging_matches_reference(converge_iters):
     runner = ModelRunner(TableStubModel(), params={})
     refiner = BatchRefiner(runner, bucket=256)
     img = coord_image()
-    pyr, hw = refiner.build_pyramid(img)
+    pyr, hw = refiner.prepare_image(img)
     hist = refiner.refine(pyr, hw, pyr, hw, LOC_FROM, SEEDS.copy(),
                           s_from=1.0, s_to=1.0, zoom_ins=[0.5],
                           converge_iters=converge_iters)
@@ -160,7 +160,7 @@ def test_scan_known_loop_values():
     runner = ModelRunner(TableStubModel(), params={})
     refiner = BatchRefiner(runner, bucket=256)
     img = coord_image()
-    pyr, hw = refiner.build_pyramid(img)
+    pyr, hw = refiner.prepare_image(img)
     hist = refiner.refine(pyr, hw, pyr, hw, LOC_FROM, SEEDS.copy(),
                           s_from=1.0, s_to=1.0, zoom_ins=[0.5],
                           converge_iters=4)
@@ -177,7 +177,7 @@ def test_grouped_loop_averaging_matches_reference(converge_iters):
     refiner = BatchRefiner(ModelRunner(TableStubModel(), params={}),
                            bucket=256)
     img = coord_image()
-    pyr, hw = refiner.build_pyramid(img)
+    pyr, hw = refiner.prepare_image(img)
     hist = refine_grouped(
         None, TableFakeStepper(), pyr, hw, pyr, hw,
         LOC_FROM.astype(np.float64), SEEDS.copy(), 1.0, 1.0, [0.5],
@@ -194,7 +194,7 @@ def test_two_level_history_semantics():
     runner = ModelRunner(TableStubModel(), params={})
     refiner = BatchRefiner(runner, bucket=256)
     img = coord_image()
-    pyr, hw = refiner.build_pyramid(img)
+    pyr, hw = refiner.prepare_image(img)
     hist = refiner.refine(pyr, hw, pyr, hw, LOC_FROM, SEEDS.copy(),
                           s_from=1.0, s_to=1.0, zoom_ins=[0.5, 0.5],
                           converge_iters=4)

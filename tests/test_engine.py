@@ -107,7 +107,7 @@ def test_refiner_matches_analytic_box_math(stub_runner):
     box/query/denormalization math exactly (sub-pixel)."""
     refiner = BatchRefiner(stub_runner, bucket=256)
     img = np.random.RandomState(0).uniform(0, 1, (512, 512, 3)).astype(np.float32)
-    pyr, hw = refiner.build_pyramid(img)
+    pyr, hw = refiner.prepare_image(img)
     loc_from = np.array([[100.0, 200.0], [400.0, 50.0], [256.0, 256.0]])
     loc_to0 = loc_from + np.array([5.0, -3.0])  # seed slightly off
     zooms = [0.5, 0.25, 0.0625]
@@ -124,7 +124,7 @@ def test_refiner_exact_seed_is_fixed_point(stub_runner):
     """A perfectly seeded task must stay put through every zoom level."""
     refiner = BatchRefiner(stub_runner, bucket=256)
     img = np.random.RandomState(1).uniform(0, 1, (512, 512, 3)).astype(np.float32)
-    pyr, hw = refiner.build_pyramid(img)
+    pyr, hw = refiner.prepare_image(img)
     loc = np.array([[100.0, 200.0], [400.0, 50.0], [256.0, 256.0]])
     hist = refiner.refine(pyr, hw, pyr, hw, loc, loc.copy(),
                           s_from=1.0, s_to=1.0, zoom_ins=[0.5, 0.25, 0.0625])

@@ -5,8 +5,7 @@ import PIL.Image
 import pytest
 import torch
 
-from cotr_tpu.ops import (build_pyramid, crop_and_resize,
-                          crop_and_resize_pyramid, grid_sample,
+from cotr_tpu.ops import (crop_and_resize, grid_sample,
                           normalize_canvas, resize_bilinear,
                           two_images_side_by_side)
 
@@ -74,34 +73,6 @@ def test_crop_and_resize_upscale_matches_pil():
     pil = np.array(PIL.Image.fromarray(img[16:48, 16:48, 0]).resize(
         (128, 128), resample=PIL.Image.BILINEAR))
     np.testing.assert_allclose(ours, pil, atol=1e-2)
-
-
-def test_pyramid_crop_downscale_close_to_pil():
-    """Mip-level sampling approximates PIL's anti-aliased downscale.
-
-    On white noise the box-cascade and PIL's triangle filter differ maximally,
-    so we check (a) natural-frequency content stays close to PIL and (b) even
-    on noise the pyramid beats plain (aliased) bilinear.
-    """
-    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
-    smooth = (127 + 60 * np.sin(xx / 17) * np.cos(yy / 23) +
-              40 * np.sin((xx + yy) / 41))[..., None].astype(np.float32)
-    pyr = [np.asarray(l) for l in build_pyramid(smooth)]
-    boxes = np.array([[0.0, 0.0, 512.0, 512.0]], np.float32)
-    ours = np.asarray(crop_and_resize_pyramid(pyr, boxes, 128))[0, ..., 0]
-    pil = np.array(PIL.Image.fromarray(smooth[..., 0]).resize(
-        (128, 128), resample=PIL.Image.BILINEAR))
-    assert np.abs(ours - pil).mean() < 2.0, np.abs(ours - pil).mean()
-
-    rng = np.random.RandomState(5)
-    noise = rng.uniform(0, 255, (512, 512, 1)).astype(np.float32)
-    pyr_n = [np.asarray(l) for l in build_pyramid(noise)]
-    ours_n = np.asarray(crop_and_resize_pyramid(pyr_n, boxes, 128))[0, ..., 0]
-    aliased = np.asarray(crop_and_resize(noise, boxes, 128))[0, ..., 0]
-    pil_n = np.array(PIL.Image.fromarray(noise[..., 0]).resize(
-        (128, 128), resample=PIL.Image.BILINEAR))
-    assert (np.abs(ours_n - pil_n).mean() <
-            0.5 * np.abs(aliased - pil_n).mean())
 
 
 @pytest.mark.parametrize("box,out", [

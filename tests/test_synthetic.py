@@ -42,3 +42,53 @@ def test_correspondences_match_warp():
     # most correspondences should agree in intensity
     agree = np.abs(va - vb) < 0.35
     assert agree.mean() > 0.8, agree.mean()
+
+
+def test_device_warp_matches_host_warp():
+    """device_warp mode must produce the same training canvas as host-warp
+    mode (same (seed, index) -> same crop/homography/corrs), with the warp
+    done inside jit (ops.canvas.canvas_from_crops_and_homographies)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cotr_tpu.ops.canvas import (canvas_from_crops_and_homographies,
+                                     normalize_canvas)
+
+    host_ds = SyntheticHomographyDataset(length=8, num_kp=16, seed=5)
+    dev_ds = SyntheticHomographyDataset(length=8, num_kp=16, seed=5,
+                                        device_warp=True)
+    for i in range(4):
+        hs = host_ds[i]
+        dv = dev_ds[i]
+        np.testing.assert_allclose(hs["queries"], dv["queries"], atol=1e-6)
+        np.testing.assert_allclose(hs["targets"], dv["targets"], atol=1e-6)
+        canvas_host = normalize_canvas(hs["image"])
+        canvas_dev = np.asarray(jax.jit(canvas_from_crops_and_homographies)(
+            jnp.asarray(dv["crop"][None]), jnp.asarray(dv["h_mat"][None])))[0]
+        # host path rounds the warped B side to uint8; device path stays
+        # float -> at most 0.5/255 pre-normalization difference
+        err = np.abs(canvas_host - canvas_dev).max()
+        assert err < 0.02, f"sample {i}: canvas mismatch {err}"
+
+
+def test_train_step_accepts_crop_layout():
+    """One jitted train step on the {crop, h_mat} batch layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from cotr_tpu import COTRConfig, TrainConfig, build_model
+    from cotr_tpu.training.train_step import (create_train_state,
+                                              make_train_step)
+
+    ds = SyntheticHomographyDataset(length=4, num_kp=8, seed=2,
+                                    device_warp=True)
+    batch = {k: np.stack([ds[i][k] for i in range(2)])
+             for k in ("crop", "h_mat", "queries", "targets")}
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = build_model(COTRConfig(enc_layers=1, dec_layers=1, dropout=0.0))
+    cfg = TrainConfig(batch_size=2)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), jbatch)
+    step = make_train_step(model, tx, cfg)
+    state, metrics = step(state, jbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

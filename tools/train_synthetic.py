@@ -37,6 +37,11 @@ def main():
                     help="unique synthetic samples; keep > steps*batch to "
                          "avoid memorization")
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--device_warp", default=True,
+                    type=lambda v: str(v).lower() not in ("no", "false", "0"),
+                    help="synthesize the warped B side on device inside the "
+                         "jitted step (default yes) — halves host synthesis "
+                         "work, which caps throughput on few-core hosts")
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -65,9 +70,11 @@ def main():
                             suffix="synthetic")
 
     train_ds = SyntheticHomographyDataset(length=args.epoch_len,
-                                          num_kp=args.num_kp, seed=1)
+                                          num_kp=args.num_kp, seed=1,
+                                          device_warp=args.device_warp)
     val_ds = SyntheticHomographyDataset(length=args.batch_size * 4,
-                                        num_kp=args.num_kp, seed=777)
+                                        num_kp=args.num_kp, seed=777,
+                                        device_warp=args.device_warp)
 
     model = build_model(model_cfg)
     trainer = Trainer(
@@ -82,11 +89,16 @@ def main():
                                       num_workers=2, shuffle=False)))
     trainer.initialize(sample, seed=0)
 
-    from cotr_tpu.ops.canvas import normalize_canvas
+    from cotr_tpu.ops.canvas import (canvas_from_crops_and_homographies,
+                                     normalize_canvas)
 
-    eval_img = sample["image"]
-    if eval_img.dtype == np.uint8:
-        eval_img = normalize_canvas(eval_img.astype(np.float32) / 255.0)
+    if "image" in sample:
+        eval_img = sample["image"]
+        if eval_img.dtype == np.uint8:
+            eval_img = normalize_canvas(eval_img.astype(np.float32) / 255.0)
+    else:
+        eval_img = np.asarray(canvas_from_crops_and_homographies(
+            jnp.asarray(sample["crop"]), jnp.asarray(sample["h_mat"])))
 
     def heldout_error(params):
         pred = model.apply(params, jnp.asarray(eval_img),

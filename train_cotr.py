@@ -108,6 +108,19 @@ def main(argv=None):
         num_devices=args.num_devices, out_dir=args.out_dir,
         suffix=args.suffix)
 
+    # interactive option confirmation before training (reference
+    # options_utils.confirm_opt, options_utils.py:33-47): print every option
+    # and gate on y/n, skipped under --confirm=no, cluster auto-resume
+    # (use_cc) or a non-interactive stdin
+    if args.confirm and not args.use_cc:
+        from cotr_tpu.utils.misc import confirm, print_notification
+
+        opts = sorted(vars(args).items())
+        print_notification(
+            [f"{k.rjust(25)}  {v}" for k, v in opts], "OPTIONS")
+        if sys.stdin.isatty() and not confirm():
+            sys.exit(1)
+
     run_name = compact_name(model_cfg, train_cfg)
     run_dir = os.path.join(args.out_dir, run_name)
     params_json = os.path.join(run_dir, "params.json")
