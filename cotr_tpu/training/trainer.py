@@ -85,17 +85,25 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
 
+    #: checkpoint payload layout version; bumped on structural changes so a
+    #: stale restore fails loudly instead of silently misassigning state
+    CKPT_VERSION = 2
+
     def save_checkpoint(self, tag: str = "checkpoint"):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self._ckpt_dir, tag))
         ckptr = ocp.StandardCheckpointer()
+        # opt_state saved as its FULL pytree (not flattened leaves): restore
+        # checks the live optimizer's structure against the saved one, so a
+        # changed optimizer construction raises instead of reshuffling moments
         payload = {
+            "version": np.asarray(self.CKPT_VERSION),
             "step": np.asarray(self.state.step),
             "params": jax.tree_util.tree_map(np.asarray,
                                              self.state.params["params"]),
-            "opt_state": jax.tree_util.tree_map(
-                np.asarray, jax.tree_util.tree_leaves(self.state.opt_state)),
+            "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                self.state.opt_state),
         }
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
@@ -108,18 +116,23 @@ class Trainer:
             return False
         ckptr = ocp.StandardCheckpointer()
         template = {
+            "version": np.asarray(0),
             "step": np.asarray(self.state.step),
             "params": jax.tree_util.tree_map(np.asarray,
                                              self.state.params["params"]),
-            "opt_state": jax.tree_util.tree_map(
-                np.asarray, jax.tree_util.tree_leaves(self.state.opt_state)),
+            "opt_state": jax.tree_util.tree_map(np.asarray,
+                                                self.state.opt_state),
         }
         restored = ckptr.restore(path, template)
-        leaves = restored["opt_state"]
-        treedef = jax.tree_util.tree_structure(self.state.opt_state)
-        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        version = int(restored["version"])
+        if version != self.CKPT_VERSION:
+            raise ValueError(
+                f"checkpoint at {path} has layout version {version}, "
+                f"this trainer writes {self.CKPT_VERSION}; refusing a "
+                "structurally ambiguous restore")
         self.state = TrainState(jnp.asarray(restored["step"]),
-                                {"params": restored["params"]}, opt_state)
+                                {"params": restored["params"]},
+                                restored["opt_state"])
         self.state = TrainState(*replicate(tuple(self.state), self.mesh))
         return True
 
@@ -154,7 +167,6 @@ class Trainer:
                     from cotr_tpu.ops.canvas import (
                         canvas_from_crops_and_homographies,
                         denormalize_canvas)
-                    import jax.numpy as jnp
                     img = np.asarray(denormalize_canvas(
                         canvas_from_crops_and_homographies(
                             jnp.asarray(batch["crop"][:4]),

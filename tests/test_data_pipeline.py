@@ -49,10 +49,27 @@ def synthetic_scene(tmp_path_factory):
         "#   POINTS2D[] as (X, Y, POINT3D_ID)\n",
         "# Number of images: 3, mean observations per image: 0.0\n",
     ]
+    # POINTS2D observations: point 1 seen by imgs 1+2, point 2 by 2+3,
+    # point 3 by 1 only, point 4 by all three
+    obs = {1: "10 10 1 20 20 3 30 30 4 5 5 -1",
+           2: "11 11 1 21 21 2 31 31 4",
+           3: "12 12 2 32 32 4"}
     for i, (name, tx) in enumerate(zip(names, [0.0, 0.15, -0.15])):
         lines.append(f"{i + 1} 1.0 0.0 0.0 0.0 {tx} 0.0 0.0 1 {name}\n")
-        lines.append("\n")
+        lines.append(obs[i + 1] + "\n")
     (scene_dir / "images.txt").write_text("".join(lines))
+
+    pts_lines = [
+        "# 3D point list with one line of data per point:\n",
+        "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[] as "
+        "(IMAGE_ID, POINT2D_IDX)\n",
+        "# Number of points: 4, mean track length: 2.0\n",
+        "1 0.1 0.1 3.0 200 100 50 0.5 1 0 2 0\n",
+        "2 0.2 0.2 3.0 200 100 50 0.5 2 1 3 0\n",
+        "3 0.3 0.3 3.0 200 100 50 0.5 1 1\n",
+        "4 0.4 0.4 3.0 200 100 50 0.5 1 2 2 2 3 1\n",
+    ]
+    (scene_dir / "points3D.txt").write_text("".join(pts_lines))
 
     rel = [f"0001/dense/imgs/{n}" for n in names]
     valid_json = root / "valid_list.json"
@@ -154,3 +171,51 @@ def test_trainer_short_run_and_checkpoint(synthetic_scene, tmp_path):
     a = jax.tree_util.tree_leaves(trainer.state.params)[0]
     b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+def test_covisibility_lookup(synthetic_scene):
+    """read_sfm_scene(covisibility=True) parses POINTS2D + points3D tracks;
+    SfmScene.get_covisible_caps returns captures sharing >=1 3D point
+    (reference sfm_scenes.py:60-72, colmap_helper.py:147-156)."""
+    cfg = synthetic_scene["cfg"]
+    sdd = cfg.scenes_name_list[0]
+    scene = ColmapWithDepthAsciiReader.read_sfm_scene(
+        sdd["scene_dir"], sdd["image_dir"], sdd["depth_dir"],
+        "no_crop", covisibility=True)
+    assert scene.point_meta is not None
+    np.testing.assert_array_equal(scene.point_meta[4], [1, 2, 3])
+
+    by_id = {cap.image_id: cap for cap in scene.captures}
+    # img 1 observes points {1, 3, 4} -> covisible with imgs 1, 2, 3 (via 4)
+    covis1 = sorted(c.image_id for c in scene.get_covisible_caps(by_id[1]))
+    assert covis1 == [1, 2, 3]
+    # img 3 observes {2, 4} -> point 2 links img 2, point 4 links all
+    covis3 = sorted(c.image_id for c in scene.get_covisible_caps(by_id[3]))
+    assert covis3 == [1, 2, 3]
+    np.testing.assert_array_equal(by_id[1].point3d_id, [1, 3, 4])
+
+
+def test_essential_matrix_epipolar_property():
+    """CameraPose.essential_matrix (camera_pose.py:141-144) satisfies the
+    epipolar constraint x2^T E x1 = 0 for rays of a world-identity first
+    camera and this pose's camera."""
+    from cotr_tpu.geometry.camera import CameraPose, Rotation, Translation
+    from cotr_tpu.geometry.transforms import quaternion_from_matrix
+
+    rng = np.random.RandomState(0)
+    q, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    quat = quaternion_from_matrix(
+        np.block([[q, np.zeros((3, 1))], [np.zeros((1, 3)), 1]]))
+    t = rng.randn(3)
+    pose = CameraPose(Translation(t.astype(np.float32)),
+                      Rotation(np.asarray(quat, np.float32)))
+    e_mat = pose.essential_matrix
+    assert abs(np.linalg.norm(e_mat) - 1.0) < 1e-6
+    c = pose.camera_center_in_world
+    r = pose.world_to_camera[:3, :3]
+    pts = rng.randn(20, 3) * 2
+    x1 = pts
+    x2 = (r @ (pts - c).T).T
+    res = np.abs(np.einsum("ni,ij,nj->n", x2, e_mat, x1))
+    assert res.max() < 1e-5, res.max()
