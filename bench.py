@@ -116,6 +116,24 @@ def main():
     detail["e2e"] = {"queries": nq, "zoom_depth": len(zoom_ins),
                      "wall_s": round(e2e_dt, 3)}
 
+    # -------------------------------------------------- dense flow (public)
+    if not args.quick:
+        from cotr_tpu.inference.dense import dense_flow
+
+        sq_a = img_a[:1024, :1024]
+        sq_b = img_b[:1024, :1024]
+        dense_flow(runner, sq_a, sq_b)  # warm
+        t0 = time.time()
+        it_d = 3
+        for _ in range(it_d):
+            dense_flow(runner, sq_a, sq_b)
+        d_dt = (time.time() - t0) / it_d
+        # one pass decodes the full 256x512 grid = 131,072 queries and
+        # yields BOTH directions' fields (inference_helper.py:116-145)
+        detail["dense_flow"] = {
+            "queries": 131072, "wall_s": round(d_dt, 3),
+            "q_s": round(131072 / d_dt, 1)}
+
     # ------------------------------------------- device pipeline (ceiling)
     if not args.skip_device:
         groups = 2 if args.quick else 16
