@@ -219,3 +219,32 @@ def test_essential_matrix_epipolar_property():
     x2 = (r @ (pts - c).T).T
     res = np.abs(np.einsum("ni,ij,nj->n", x2, e_mat, x1))
     assert res.max() < 1e-5, res.max()
+
+
+def test_eval_megadepth_pair_machinery(synthetic_scene):
+    """evaluate_pair (eval_megadepth.py) end-to-end on the synthetic COLMAP
+    scene with the identity stub engine: GT flow construction, dense query
+    grid, engine run, EPE statistics — real-data-readiness smoke."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from eval_megadepth import evaluate_pair
+    from tests.test_engine_modes import IdentityRunner
+    from cotr_tpu.data import DataConfig, MegadepthDataset
+    from cotr_tpu.inference.engine import SparseEngine
+
+    cfg = synthetic_scene["cfg"]
+    data_cfg = DataConfig(
+        scenes_name_list=cfg.scenes_name_list,
+        valid_list_json=cfg.valid_list_json,
+        train_json=cfg.train_json, val_json=cfg.val_json,
+        test_json=cfg.test_json, crop_cam="no_crop")
+    ds = MegadepthDataset(data_cfg, "val")
+    assert ds.num_queries >= 1
+    query_cap, nn_caps = ds.get_query_with_knn(0)
+    engine = SparseEngine(IdentityRunner(), mode="stretching", task_bucket=8)
+    epe = evaluate_pair(engine, query_cap, nn_caps[0], grid=4,
+                        zoom_ins=[0.5], max_corrs=16)
+    assert epe is not None and len(epe) > 0
+    assert np.isfinite(epe).all()
