@@ -146,12 +146,14 @@ def main():
         zoom_sizes = [512.0, 212.0, 64.0][:args.zooms]
         boxes_per_zoom = []
         for zs in zoom_sizes:
-            xy = imr.uniform(0, 1024 - zs, (groups, 2)).astype(np.float32)
-            boxes_per_zoom.append(jnp.asarray(np.concatenate(
-                [xy, np.full((groups, 2), zs, np.float32)], axis=1)))
+            xy = np.floor(imr.uniform(0, 1024 - zs, (groups, 2))).astype(
+                np.float32)
+            boxes_per_zoom.append(np.concatenate(
+                [xy, np.full((groups, 2), zs, np.float32)], axis=1))
 
         def one_depth(boxes):
-            return stepper._step(runner.params, img, img, boxes, boxes, q_dev)
+            # dispatch picks the static-window crop specialization
+            return stepper.dispatch(img, img, boxes, boxes, q_dev)
 
         for b in boxes_per_zoom:
             np.asarray(one_depth(b))

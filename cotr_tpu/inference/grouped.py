@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cotr_tpu.ops.canvas import normalize_canvas
-from cotr_tpu.ops.sampling import crop_and_resize_matmul
+from cotr_tpu.ops.sampling import (crop_and_resize_matmul,
+                                   crop_and_resize_windowed)
 from cotr_tpu.utils.constants import MAX_SIZE
 
 SAFE_AREA = 0.5  # sparse_engine.py:297
@@ -54,26 +55,42 @@ def form_squads(loc_from: np.ndarray, loc_to: np.ndarray, active: np.ndarray,
 
     Returns (squad_of: (T,) int squad index or -1, pilots: (G,) task ids).
     """
-    t = len(loc_from)
-    squad_of = np.full(t, -1, int)
     ids = np.where(active)[0]
     order = ids[rng.permutation(len(ids))]
-    free = np.zeros(t, bool)
-    free[ids] = True
 
     x0f, y0f, sf = patch_box_np(loc_from, scale_from, *hw_a)
     x0t, y0t, st = patch_box_np(loc_to, scale_to, *hw_b)
     cf_x, cf_y = x0f + sf / 2, y0f + sf / 2
     ct_x, ct_y = x0t + st / 2, y0t + st / 2
+    half_f = sf / 2 * SAFE_AREA
+    half_t = st / 2 * SAFE_AREA
 
+    # grid-bucketed C++ twin (same order -> identical result); the numpy
+    # scan below is the fallback and the reference for its equivalence test
+    from cotr_tpu import native
+
+    res = native.form_squads(loc_from, loc_to, cf_x, cf_y, ct_x, ct_y,
+                             active, half_f, half_t, order, max_load)
+    if res is not None:
+        return res
+    return _form_squads_numpy(loc_from, loc_to, active, cf_x, cf_y,
+                              ct_x, ct_y, half_f, half_t, order, max_load)
+
+
+def _form_squads_numpy(loc_from, loc_to, active, cf_x, cf_y, ct_x, ct_y,
+                       half_f, half_t, order, max_load
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """O(P*T) numpy scan — the semantic reference for the native kernel."""
+    t = len(loc_from)
+    squad_of = np.full(t, -1, int)
+    free = np.zeros(t, bool)
+    free[np.where(active)[0]] = True
     pilots = []
     for pid in order:
         if not free[pid]:
             continue
         g = len(pilots)
         pilots.append(pid)
-        half_f = sf / 2 * SAFE_AREA
-        half_t = st / 2 * SAFE_AREA
         inside = (free &
                   (np.abs(loc_from[:, 0] - cf_x[pid]) < half_f) &
                   (np.abs(loc_from[:, 1] - cf_y[pid]) < half_f) &
@@ -99,29 +116,64 @@ class GroupedStepper:
     def __init__(self, runner, crop_dtype=jnp.float32, mesh=None):
         self.runner = runner
         self.mesh = mesh
-        model = runner.model
+        self._crop_dtype = crop_dtype
+        # generic step (per-box interpolation matrices over the full image)
+        # plus a cache of per-patch-size specializations that slice the
+        # static-size window first — (H*W)/patch^2 fewer crop FLOPs
+        self._step = self._make_step(None, None)
+        self._sized_steps = {}
+
+    def _make_step(self, size_f, size_t):
+        model = self.runner.model
+        crop_dtype = self._crop_dtype
+
+        def crop(img, boxes, size):
+            if size is None:
+                return crop_and_resize_matmul(img, boxes, MAX_SIZE,
+                                              compute_dtype=crop_dtype)
+            return crop_and_resize_windowed(img, boxes, MAX_SIZE, size,
+                                            compute_dtype=crop_dtype)
 
         def step(params, img_a, img_b, boxes_from, boxes_to, queries):
-            crops_a = crop_and_resize_matmul(img_a, boxes_from, MAX_SIZE,
-                                             compute_dtype=crop_dtype)
-            crops_b = crop_and_resize_matmul(img_b, boxes_to, MAX_SIZE,
-                                             compute_dtype=crop_dtype)
+            crops_a = crop(img_a, boxes_from, size_f)
+            crops_b = crop(img_b, boxes_to, size_t)
             canvas = normalize_canvas(
                 jnp.concatenate([crops_a, crops_b], axis=2))
             memory = model.apply(params, canvas, method="encode")
             return model.apply(params, memory, queries, method="decode")
 
-        if mesh is None:
-            self._step = jax.jit(step)
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None:
+            return jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            gsh = NamedSharding(mesh, P("data"))
-            repl = NamedSharding(mesh, P())
-            self._step = jax.jit(
-                step,
-                in_shardings=(None, repl, repl, gsh, gsh, gsh),
-                out_shardings=gsh)
+        gsh = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(step,
+                       in_shardings=(None, repl, repl, gsh, gsh, gsh),
+                       out_shardings=gsh)
+
+    def _step_for(self, boxes_from: np.ndarray, boxes_to: np.ndarray):
+        """Pick the windowed specialization when every box in the dispatch
+        shares one square integral size (always true for engine dispatches —
+        patch size is a function of (zoom, image dims) only); otherwise the
+        generic full-image step."""
+        def uniform_size(b):
+            if len(b) == 0:
+                return None
+            s = b[0, 2]
+            if (s > 0 and s == int(s) and np.all(b[:, 2] == s)
+                    and np.all(b[:, 3] == s)):
+                return int(s)
+            return None
+
+        sf = uniform_size(boxes_from)
+        st = uniform_size(boxes_to)
+        if sf is None or st is None:
+            return self._step
+        key = (sf, st)
+        if key not in self._sized_steps:
+            self._sized_steps[key] = self._make_step(sf, st)
+        return self._sized_steps[key]
 
     def __call__(self, img_a, img_b, boxes_from, boxes_to, queries):
         return np.asarray(self.dispatch(img_a, img_b, boxes_from, boxes_to,
@@ -132,10 +184,12 @@ class GroupedStepper:
         Chunks within a zoom level are independent, so the engine dispatches
         them all and materializes afterwards — host-side squad building for
         chunk k+1 overlaps device compute for chunk k."""
-        return self._step(
+        boxes_from = np.asarray(boxes_from, np.float32)
+        boxes_to = np.asarray(boxes_to, np.float32)
+        step = self._step_for(boxes_from, boxes_to)
+        return step(
             self.runner.params, img_a, img_b,
-            jnp.asarray(boxes_from, jnp.float32),
-            jnp.asarray(boxes_to, jnp.float32),
+            jnp.asarray(boxes_from), jnp.asarray(boxes_to),
             jnp.asarray(queries, jnp.float32))
 
 
@@ -156,7 +210,23 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
         return 0
     x0f_all, y0f_all, sf = patch_box_np(loc_from[pilots], scale_f, h_a, w_a)
     x0t_all, y0t_all, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
-    members_of = [np.where(squad_of == gi)[0] for gi in range(g)]
+
+    # flat member table: (G, m_cap) ids + canvas-local queries via one
+    # stable argsort scatter — replaces a G x T membership scan and a
+    # per-squad python loop (the round-1 "other host" cost at 10k tasks)
+    midx = np.where(squad_of >= 0)[0]
+    sq = squad_of[midx]
+    o = np.argsort(sq, kind="stable")
+    midx, sq = midx[o], sq[o]
+    counts = np.bincount(sq, minlength=g)
+    starts0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(midx)) - starts0[sq]
+    m_cap = max(int(counts.max()), 1)
+    ids_full = np.full((g, m_cap), -1, int)
+    ids_full[sq, pos] = midx
+    q_full = np.zeros((g, m_cap, 2), np.float32)
+    q_full[sq, pos, 0] = (loc_from[midx, 0] - x0f_all[sq]) / (2 * sf)
+    q_full[sq, pos, 1] = (loc_from[midx, 1] - y0f_all[sq]) / sf
 
     # dispatch every chunk first (device queue), materialize afterwards:
     # squad/query building for chunk k+1 overlaps device compute of chunk k
@@ -164,8 +234,7 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
     for start in range(0, g, group_cap):
         end = min(start + group_cap, g)
         gc = end - start
-        m_max = max((len(members_of[gi]) for gi in range(start, end)),
-                    default=1)
+        m_max = max(int(counts[start:end].max()), 1)
         # shape stability: exactly two bucket sizes per axis, so every
         # possible dispatch hits one of four precompiled shapes — member
         # counts vary with the squad-formation RNG, and a data-dependent
@@ -176,13 +245,9 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
 
         queries = np.zeros((g_pad, m_pad, 2), np.float32)
         member_ids = np.full((g_pad, m_pad), -1, int)
-        for li, gi in enumerate(range(start, end)):
-            members = members_of[gi]
-            queries[li, :len(members), 0] = (
-                (loc_from[members, 0] - x0f_all[gi]) / (2 * sf))
-            queries[li, :len(members), 1] = (
-                (loc_from[members, 1] - y0f_all[gi]) / sf)
-            member_ids[li, :len(members)] = members
+        mc = min(m_cap, m_pad)
+        queries[:gc, :mc] = q_full[start:end, :mc]
+        member_ids[:gc, :mc] = ids_full[start:end, :mc]
 
         boxes_from = np.zeros((g_pad, 4), np.float32)
         boxes_to = np.zeros((g_pad, 4), np.float32)
@@ -192,8 +257,10 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
         boxes_to[:gc] = np.stack(
             [x0t_all[start:end], y0t_all[start:end],
              np.full(gc, st), np.full(gc, st)], axis=1)
-        boxes_from[gc:, 2:] = 2.0  # degenerate but valid padding boxes
-        boxes_to[gc:, 2:] = 2.0
+        # padding boxes keep the level's patch size (position 0,0) so one
+        # static window size covers the whole dispatch; results are ignored
+        boxes_from[gc:, 2:] = sf
+        boxes_to[gc:, 2:] = st
 
         # fake steppers in tests may only implement __call__ (sync)
         dispatch = getattr(stepper, "dispatch", stepper)

@@ -27,12 +27,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH):
+    _src = os.path.join(_NATIVE_DIR, "cotr_native.cpp")
+    stale = (os.path.exists(_SO_PATH) and os.path.exists(_src)
+             and os.path.getmtime(_SO_PATH) < os.path.getmtime(_src))
+    if not os.path.exists(_SO_PATH) or stale:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
@@ -51,6 +55,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_char_p, i64]
     lib.count_valid_depth.restype = i64
     lib.count_valid_depth.argtypes = [f32p, i64, i64]
+    lib.form_squads.restype = i64
+    lib.form_squads.argtypes = [f64p, f64p, f64p, f64p, f64p, f64p,
+                                np.ctypeslib.ndpointer(
+                                    np.uint8, flags="C_CONTIGUOUS"),
+                                i64, ctypes.c_double, ctypes.c_double,
+                                i64p, i64, i64, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -105,3 +115,33 @@ def parse_images_txt(path: str, max_images: int = 100_000,
     names = [names_buf.raw[i * name_len:(i + 1) * name_len]
              .split(b"\0")[0].decode() for i in range(n)]
     return image_ids[:n].copy(), camera_ids[:n].copy(), qtvec[:n].copy(), names
+
+
+def form_squads(loc_from: np.ndarray, loc_to: np.ndarray,
+                cf_x: np.ndarray, cf_y: np.ndarray,
+                ct_x: np.ndarray, ct_y: np.ndarray,
+                active: np.ndarray, half_f: float, half_t: float,
+                order: np.ndarray, max_load: int
+                ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Grid-bucketed greedy squad formation (native twin of
+    cotr_tpu.inference.grouped.form_squads's scan loop; exact same result
+    for the same ``order``). Returns (squad_of, pilots) or None when the
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = len(loc_from)
+    squad_of = np.empty(t, np.int64)
+    pilots = np.empty(max(t, 1), np.int64)
+    g = lib.form_squads(
+        np.ascontiguousarray(loc_from, np.float64),
+        np.ascontiguousarray(loc_to, np.float64),
+        np.ascontiguousarray(cf_x, np.float64),
+        np.ascontiguousarray(cf_y, np.float64),
+        np.ascontiguousarray(ct_x, np.float64),
+        np.ascontiguousarray(ct_y, np.float64),
+        np.ascontiguousarray(active, np.uint8), t,
+        float(half_f), float(half_t),
+        np.ascontiguousarray(order, np.int64), len(order), int(max_load),
+        squad_of, pilots)
+    return squad_of, pilots[:g].copy()

@@ -183,3 +183,43 @@ def crop_and_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray,
                      if compute_dtype == jnp.float32 else None)
     return out.astype(jnp.float32)
 
+
+def crop_and_resize_windowed(image: jnp.ndarray, boxes: jnp.ndarray,
+                             out_size: int, patch: int,
+                             compute_dtype=jnp.float32) -> jnp.ndarray:
+    """PIL-parity crop-and-resize for boxes sharing one STATIC patch size.
+
+    Within one grouped-engine dispatch every box has the same side length
+    (``patch_box`` derives it from (zoom scale, image dims) alone —
+    reference inference_helper.py:78-102), so instead of per-box
+    interpolation matrices over the FULL image (``crop_and_resize_matmul``,
+    cost G*out*H*W*C) each patch window is sliced out first and resampled
+    with a single shared (out, patch) weight pair: cost G*out*patch^2*C —
+    a (H*W)/patch^2 FLOP cut (4x at zoom 0.5, 64x at zoom 0.125).
+
+    Bit-identical to ``crop_and_resize_matmul``: the triangle filter's
+    support is clipped to the crop and renormalized in both formulations,
+    so slicing exactly the crop loses nothing.
+
+    image: (H, W, C); boxes: (G, 4) integer-valued (x0, y0, w, h) with
+    w == h == patch. Returns (G, out_size, out_size, C) float32.
+    """
+    image = jnp.asarray(image)
+    c = image.shape[2]
+    img = image.astype(compute_dtype)
+
+    def one(box):
+        return jax.lax.dynamic_slice(
+            img, (box[1].astype(jnp.int32), box[0].astype(jnp.int32), 0),
+            (patch, patch, c))
+
+    wins = jax.vmap(one)(boxes)  # (G, S, S, C)
+    w = _pil_axis_weights(jnp.zeros((1,)), jnp.full((1,), float(patch)),
+                          patch, out_size)[0]  # (out, S)
+    w = w.astype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else None)
+    tmp = jnp.einsum("iy,gyxc->gixc", w, wins, precision=prec)
+    out = jnp.einsum("jx,gixc->gijc", w, tmp, precision=prec)
+    return out.astype(jnp.float32)
+

@@ -107,3 +107,41 @@ def test_synth_corrs_perf_sanity():
     dt = time.time() - t0
     assert out is not None
     assert dt < 0.5, f"native synth too slow: {dt:.3f}s"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_form_squads_native_matches_numpy(seed):
+    """The grid-bucketed C++ squad formation must reproduce the numpy greedy
+    scan EXACTLY (same permutation order): same pilot set, same membership,
+    including clamped-patch pilots whose own center fails the window test
+    and max_load truncation."""
+    from cotr_tpu.inference.grouped import (_form_squads_numpy, patch_box_np,
+                                            SAFE_AREA)
+
+    rng = np.random.RandomState(seed)
+    t = 700
+    h_a, w_a, h_b, w_b = 480, 640, 512, 512
+    loc_from = np.stack([rng.uniform(0, w_a, t), rng.uniform(0, h_a, t)], 1)
+    loc_to = np.stack([rng.uniform(0, w_b, t), rng.uniform(0, h_b, t)], 1)
+    active = rng.rand(t) < 0.8
+    scale_f, scale_t = 0.3, 0.45
+    max_load = 16  # small so truncation paths trigger
+
+    x0f, y0f, sf = patch_box_np(loc_from, scale_f, h_a, w_a)
+    x0t, y0t, st = patch_box_np(loc_to, scale_t, h_b, w_b)
+    cf_x, cf_y = x0f + sf / 2, y0f + sf / 2
+    ct_x, ct_y = x0t + st / 2, y0t + st / 2
+    half_f, half_t = sf / 2 * SAFE_AREA, st / 2 * SAFE_AREA
+    ids = np.where(active)[0]
+    order = ids[rng.permutation(len(ids))]
+
+    ref_sq, ref_pilots = _form_squads_numpy(
+        loc_from, loc_to, active, cf_x, cf_y, ct_x, ct_y,
+        half_f, half_t, order, max_load)
+    out = native.form_squads(loc_from, loc_to, cf_x, cf_y, ct_x, ct_y,
+                             active, half_f, half_t, order, max_load)
+    if out is None:
+        pytest.skip("native library unavailable")
+    nat_sq, nat_pilots = out
+    np.testing.assert_array_equal(nat_pilots, ref_pilots)
+    np.testing.assert_array_equal(nat_sq, ref_sq)

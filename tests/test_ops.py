@@ -100,6 +100,32 @@ def test_crop_and_resize_matmul_exact_pil(box, out):
     assert np.abs(ours - pil).max() < 2e-3, np.abs(ours - pil).max()
 
 
+@pytest.mark.parametrize("patch,out", [(64, 256), (300, 256), (128, 256),
+                                       (32, 128)])
+def test_crop_and_resize_windowed_matches_matmul(patch, out):
+    """The static-window specialization (grouped-engine hot path) must match
+    the full-image interpolation-matrix formulation exactly, including boxes
+    clamped against the image borders."""
+    import jax.numpy as jnp
+
+    from cotr_tpu.ops import crop_and_resize_matmul, crop_and_resize_windowed
+
+    rng = np.random.RandomState(11)
+    img = rng.uniform(0, 255, (512, 480, 3)).astype(np.float32)
+    h, w = img.shape[:2]
+    # corner-clamped, interior, and edge-touching boxes of one shared size
+    xs = np.array([0, w - patch, 17, (w - patch) // 2], np.float32)
+    ys = np.array([0, h - patch, h - patch, 33], np.float32)
+    boxes = np.stack([xs, ys, np.full(4, patch, np.float32),
+                      np.full(4, patch, np.float32)], axis=1)
+    full = np.asarray(crop_and_resize_matmul(jnp.asarray(img),
+                                             jnp.asarray(boxes), out))
+    windowed = np.asarray(crop_and_resize_windowed(jnp.asarray(img),
+                                                   jnp.asarray(boxes), out,
+                                                   patch))
+    assert np.abs(full - windowed).max() < 1e-4, np.abs(full - windowed).max()
+
+
 def test_canvas_normalization_matches_torchvision_math():
     rng = np.random.RandomState(6)
     img = rng.randint(0, 255, (8, 16, 3), dtype=np.uint8)
