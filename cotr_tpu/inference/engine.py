@@ -381,10 +381,15 @@ class FasterSparseEngine(SparseEngine):
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
                  image_bucket: int = 256, seed: int = 0, max_load: int = 256,
-                 mesh=None, crop_dtype=None):
+                 mesh=None, crop_dtype=None, safe_area: float = 0.5):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
                          seed, crop_dtype=crop_dtype)
         self.max_load = max_load
+        # membership-window fraction of the pilot patch. 0.5 = exact
+        # reference semantics (sparse_engine.py:297); larger groups more
+        # queries per canvas encode at the price of accuracy near window
+        # edges (production knob for spread workloads)
+        self.safe_area = safe_area
         from cotr_tpu.inference.grouped import GroupedStepper
         # mesh: shard the squad axis across devices (multi-chip inference)
         self._stepper = GroupedStepper(runner, crop_dtype=self.crop_dtype,
@@ -407,6 +412,6 @@ class FasterSparseEngine(SparseEngine):
             self.runner, self._stepper, pyr_a, hw_a, pyr_b, hw_b,
             np.asarray(loc_from, np.float64), np.asarray(loc_to, np.float64),
             s_from, s_to, zoom_ins, self.rng, converge_iters=converge_iters,
-            max_load=self.max_load)
+            max_load=self.max_load, safe_area=self.safe_area)
         self.total_tasks += history.shape[0] * history.shape[1]
         return np.concatenate([np.asarray(loc_to)[None], history], axis=0)

@@ -49,9 +49,16 @@ def patch_box_np(pos: np.ndarray, scale: float, h: int, w: int
 def form_squads(loc_from: np.ndarray, loc_to: np.ndarray, active: np.ndarray,
                 scale_from: float, scale_to: float,
                 hw_a: Tuple[int, int], hw_b: Tuple[int, int],
-                max_load: int, rng: np.random.RandomState
+                max_load: int, rng: np.random.RandomState,
+                safe_area: float = SAFE_AREA
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy squad formation (form_grouped_batch, sparse_engine.py:339-369).
+
+    ``safe_area`` is the membership-window fraction of the pilot's patch
+    (reference hardcodes 0.5). Larger values group more queries per canvas
+    encode — the dominant cost for spread workloads — at the price of
+    spatial accuracy near window edges (the member reuses the pilot's
+    target crop). 0.5 = exact reference semantics.
 
     Returns (squad_of: (T,) int squad index or -1, pilots: (G,) task ids).
     """
@@ -62,8 +69,8 @@ def form_squads(loc_from: np.ndarray, loc_to: np.ndarray, active: np.ndarray,
     x0t, y0t, st = patch_box_np(loc_to, scale_to, *hw_b)
     cf_x, cf_y = x0f + sf / 2, y0f + sf / 2
     ct_x, ct_y = x0t + st / 2, y0t + st / 2
-    half_f = sf / 2 * SAFE_AREA
-    half_t = st / 2 * SAFE_AREA
+    half_f = sf / 2 * safe_area
+    half_t = st / 2 * safe_area
 
     # grid-bucketed C++ twin (same order -> identical result); the numpy
     # scan below is the fallback and the reference for its equivalence test
@@ -195,7 +202,8 @@ class GroupedStepper:
 
 def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
                        active, scale_f, scale_t, hw_a, hw_b, rng, max_load,
-                       group_bucket, member_bucket, group_cap):
+                       group_bucket, member_bucket, group_cap,
+                       safe_area=SAFE_AREA):
     """One squad-formation + device dispatch over the ``active`` tasks.
 
     Updates loc_to in place for every active task (each active task belongs
@@ -204,7 +212,8 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
     h_a, w_a = hw_a
     h_b, w_b = hw_b
     squad_of, pilots = form_squads(loc_from, loc_to, active, scale_f, scale_t,
-                                   (h_a, w_a), (h_b, w_b), max_load, rng)
+                                   (h_a, w_a), (h_b, w_b), max_load, rng,
+                                   safe_area=safe_area)
     g = len(pilots)
     if g == 0:
         return 0
@@ -290,7 +299,8 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
                    s_from: float, s_to: float, zoom_ins: Sequence[float],
                    rng: np.random.RandomState, converge_iters: int = 1,
                    max_load: int = 256, group_bucket: int = 8,
-                   member_bucket: int = 64, group_cap: int = 128
+                   member_bucket: int = 64, group_cap: int = 128,
+                   safe_area: float = SAFE_AREA
                    ) -> np.ndarray:
     """Zoom-major grouped refinement over all tasks.
 
@@ -331,7 +341,7 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
             _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from,
                                loc_to, active, scale_f, scale_t, hw_a, hw_b,
                                rng, max_load, group_bucket, member_bucket,
-                               group_cap)
+                               group_cap, safe_area=safe_area)
             if not is_final:
                 break
             # revisit detection vs iterations 0..it-1 (exact equality,

@@ -135,3 +135,42 @@ def test_engine_identity_nonsquare(nonsquare_image, engine_cls, mode):
     assert err.max() < 1.5, (
         f"{engine_cls.__name__}/{mode}: identity broken by {err.max():.2f}px")
     np.testing.assert_array_equal(np.sort(idx), np.arange(12))
+
+
+def test_safe_area_knob_groups_more_and_stays_exact(nonsquare_image):
+    """safe_area > 0.5 (production knob; reference hardcodes 0.5) must form
+    FEWER squads (more members per canvas encode) and, for the identity
+    correspondence, remain exact — member queries are re-normalized into the
+    pilot's frame, so grouping radius does not move identity predictions."""
+    from cotr_tpu.inference.engine import FasterSparseEngine
+
+    img = nonsquare_image
+    rng = np.random.RandomState(3)
+    queries = np.stack([rng.uniform(40, 260, 40),
+                        rng.uniform(40, 160, 40)], axis=1)
+    kw = dict(zoom_ins=[0.5, 0.25], converge_iters=1, max_corrs=40,
+              queries_a=queries.copy(), force=True)
+
+    eng_ref = FasterSparseEngine(IdentityRunner(), mode="tile",
+                                 task_bucket=64, safe_area=0.5)
+    corrs_ref = eng_ref.cotr_corr_multiscale(img, img, **kw)
+    eng_wide = FasterSparseEngine(IdentityRunner(), mode="tile",
+                                  task_bucket=64, safe_area=1.0)
+    corrs_wide = eng_wide.cotr_corr_multiscale(img, img, **kw)
+
+    # identity exactness in both regimes
+    np.testing.assert_allclose(corrs_ref[:, 2:], corrs_ref[:, :2], atol=1.0)
+    np.testing.assert_allclose(corrs_wide[:, 2:], corrs_wide[:, :2],
+                               atol=1.0)
+    # wider window -> fewer canvas encodes (tracked via total task count
+    # proxy: same) — assert squad counts directly
+    from cotr_tpu.inference.grouped import form_squads
+
+    loc = queries.astype(np.float64)
+    _, pilots_ref = form_squads(loc, loc, np.ones(len(loc), bool), 0.5, 0.5,
+                                img.shape[:2], img.shape[:2], 256,
+                                np.random.RandomState(0), safe_area=0.5)
+    _, pilots_wide = form_squads(loc, loc, np.ones(len(loc), bool), 0.5, 0.5,
+                                 img.shape[:2], img.shape[:2], 256,
+                                 np.random.RandomState(0), safe_area=1.0)
+    assert len(pilots_wide) < len(pilots_ref)
