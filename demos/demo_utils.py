@@ -23,6 +23,10 @@ def add_common_args(ap: argparse.ArgumentParser):
     ap.add_argument("--max_corrs", type=int, default=100)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--faster_infer", default="no", choices=["yes", "no"])
+    ap.add_argument("--safe_area", type=float, default=0.5,
+                    help="grouped-engine membership window fraction "
+                         "(0.5 = exact reference semantics; larger = more "
+                         "grouping, slightly lower edge accuracy)")
     ap.add_argument("--out", default=None, help="output image path")
 
 
@@ -43,29 +47,22 @@ def build_engine(args, mode="tile"):
     # auto-falls-back off-TPU or under dropout
     cfg = COTRConfig(dtype=args.dtype, use_flash_attention=True)
     model = build_model(cfg)
-    if args.load_weights_path and args.load_weights_path.endswith(
-            (".pth", ".tar")):
-        from cotr_tpu.models.torch_convert import load_torch_checkpoint
-        params = load_torch_checkpoint(args.load_weights_path, cfg)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-        print(f"loaded torch weights from {args.load_weights_path}")
-    elif args.load_weights_path:
-        import orbax.checkpoint as ocp
-        template = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 256, 512, 3)),
-                               jnp.zeros((1, 2, 2))))
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.load_weights_path), template)
-        print(f"loaded orbax weights from {args.load_weights_path}")
+    if args.load_weights_path:
+        # torch release file, Trainer payload, or raw orbax init tree
+        from cotr_tpu.models.checkpoint_io import load_params
+        params = load_params(args.load_weights_path, cfg)
+        print(f"loaded weights from {args.load_weights_path}")
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                      jnp.zeros((1, 256, 512, 3)),
                                      jnp.zeros((1, 2, 2)))
         print("WARNING: no weights given; using random initialization")
     runner = ModelRunner(model, params)
-    cls = FasterSparseEngine if args.faster_infer == "yes" else SparseEngine
-    return cls(runner, batch_size=args.batch_size, mode=mode)
+    if args.faster_infer == "yes":
+        return FasterSparseEngine(runner, batch_size=args.batch_size,
+                                  mode=mode,
+                                  safe_area=getattr(args, "safe_area", 0.5))
+    return SparseEngine(runner, batch_size=args.batch_size, mode=mode)
 
 
 def load_image(path: str) -> np.ndarray:

@@ -101,3 +101,39 @@ def test_train_step_8dev_mesh_decreases_loss():
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 3
+
+
+def test_checkpoint_io_loads_trainer_and_raw_layouts(tmp_path):
+    """checkpoint_io.load_params must consume both a Trainer payload
+    ({version, step, params, opt_state}) and a raw model.init tree — the
+    round-1 gap was that demos could not load trainer checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from cotr_tpu import build_model
+    from cotr_tpu.models.checkpoint_io import load_params
+
+    cfg = COTRConfig(enc_layers=1, dec_layers=1)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)),
+                        jnp.zeros((1, 2, 2)))
+    ckptr = ocp.StandardCheckpointer()
+
+    raw_path = str(tmp_path / "raw")
+    ckptr.save(raw_path, jax.tree_util.tree_map(np.asarray, params))
+    trainer_path = str(tmp_path / "trainer")
+    ckptr.save(trainer_path, {
+        "version": np.asarray(2), "step": np.asarray(7),
+        "params": jax.tree_util.tree_map(np.asarray, params["params"]),
+        "opt_state": {"count": np.asarray(7)}})
+    ckptr.wait_until_finished()
+
+    for path in (raw_path, trainer_path):
+        loaded = load_params(path, cfg)
+        assert set(loaded) == {"params"}
+        ref_leaves = jax.tree_util.tree_leaves(params)
+        got_leaves = jax.tree_util.tree_leaves(loaded)
+        assert len(ref_leaves) == len(got_leaves)
+        for a, b in zip(ref_leaves, got_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,130 @@
+"""Evaluate trained weights on a known-homography warped real image.
+
+Ground truth is exact (the warp is synthetic), so this produces the
+framework's quantitative accuracy evidence without the released checkpoint
+or MegaDepth data: EPE percentiles + PCK for engine correspondences, and
+the demo_homography-style painted overlay as a visual artifact (reference
+demo_homography.py:36-49 against sample_data/imgs/paint_output.png).
+
+  python tools/eval_synthetic_pair.py \
+      --ckpt out/synthetic_run/checkpoints/final --out out/eval_pair
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--image",
+                    default="/root/reference/sample_data/imgs/cathedral_1.jpg")
+    ap.add_argument("--rep_img",
+                    default="/root/reference/sample_data/imgs/"
+                            "Meisje_met_de_parel.jpg")
+    ap.add_argument("--side", type=int, default=512,
+                    help="square side the source image is cropped to")
+    ap.add_argument("--jitter", type=float, default=0.15,
+                    help="corner jitter fraction of the warp")
+    ap.add_argument("--grid", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--max_load", type=int, default=256)
+    ap.add_argument("--out", default="out/eval_pair")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import numpy as np
+    import PIL.Image
+
+    from cotr_tpu import COTRConfig, build_model
+    from cotr_tpu.inference import ModelRunner
+    from cotr_tpu.inference.engine import FasterSparseEngine
+    from cotr_tpu.models.checkpoint_io import load_params
+    from cotr_tpu.ops.geometry_cv import (apply_homography,
+                                          homography_from_4pts,
+                                          warp_perspective)
+
+    rng = np.random.RandomState(args.seed)
+    img = np.array(PIL.Image.open(args.image).convert("RGB"))
+    h, w = img.shape[:2]
+    side = min(args.side, h, w)
+    y0, x0 = (h - side) // 2, (w - side) // 2
+    img_a = np.ascontiguousarray(img[y0:y0 + side, x0:x0 + side])
+
+    # known perspective warp (same family the synthetic task trains on)
+    s = float(side - 1)
+    corners = np.array([[0.0, 0], [s, 0], [s, s], [0, s]], np.float64)
+    jit = rng.uniform(-args.jitter, args.jitter, (4, 2)) * s
+    h_mat = homography_from_4pts(corners, corners + jit)
+    img_b = np.asarray(warp_perspective(img_a.astype(np.float32), h_mat,
+                                        (side, side))).astype(np.uint8)
+
+    cfg = COTRConfig(dtype=args.dtype, use_flash_attention=True)
+    model = build_model(cfg)
+    params = load_params(args.ckpt, cfg)
+    engine = FasterSparseEngine(ModelRunner(model, params), mode="tile",
+                                max_load=args.max_load)
+
+    # GT-covered query grid (stay away from borders so targets stay inside)
+    lin = np.linspace(side * 0.1, side * 0.9, args.grid)
+    gx, gy = np.meshgrid(lin, lin)
+    queries = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    gt = apply_homography(h_mat, queries)
+    ok = ((gt >= 0) & (gt <= side - 1)).all(axis=1)
+    queries, gt = queries[ok], gt[ok]
+
+    zoom_ins = list(np.linspace(0.5, 0.0625, 4))
+    corrs = engine.cotr_corr_multiscale(
+        img_a, img_b, zoom_ins=zoom_ins, converge_iters=1,
+        max_corrs=len(queries), queries_a=queries.copy(), force=True)
+    epe = np.linalg.norm(corrs[:, 2:] - gt, axis=1)
+
+    stats = {
+        "image": os.path.basename(args.image), "side": side,
+        "queries": int(len(queries)), "zoom_depth": len(zoom_ins),
+        "epe_mean_px": round(float(epe.mean()), 2),
+        "epe_median_px": round(float(np.median(epe)), 2),
+        "pck@1px": round(float((epe < 1).mean()), 4),
+        "pck@3px": round(float((epe < 3).mean()), 4),
+        "pck@5px": round(float((epe < 5).mean()), 4),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "eval_pair.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    print(json.dumps(stats))
+
+    # demo_homography-style artifact: match the 4 corners of a centered
+    # painting region and composite the replacement image through them
+    pad = side * 0.25
+    region = np.array([[pad, pad], [side - pad, pad],
+                       [pad, side - pad], [side - pad, side - pad]])
+    corner_corrs = engine.cotr_corr_multiscale(
+        img_a, img_b, zoom_ins=zoom_ins, converge_iters=1, max_corrs=4,
+        queries_a=region.copy(), force=True)
+    rep = np.array(PIL.Image.open(args.rep_img).convert("RGB"))
+    rh, rw = rep.shape[:2]
+    rep_corners = np.array([[0, 0], [rw, 0], [0, rh], [rw, rh]], np.float64)
+    hm = homography_from_4pts(rep_corners, corner_corrs[:, 2:])
+    warped = warp_perspective(rep.astype(np.float32), hm, (side, side))
+    mask = warp_perspective(np.ones((rh, rw, 1), np.float32), hm,
+                            (side, side)) > 0
+    overlay = np.asarray(warped * mask + img_b * (~mask)).astype(np.uint8)
+    out_png = os.path.join(args.out, "painted_overlay.png")
+    PIL.Image.fromarray(overlay).save(out_png)
+    gt_corners = apply_homography(h_mat, region)
+    corner_err = np.linalg.norm(corner_corrs[:, 2:] - gt_corners, axis=1)
+    print(f"painted overlay -> {out_png} "
+          f"(corner EPE: {np.round(corner_err, 2).tolist()} px)")
+
+
+if __name__ == "__main__":
+    main()
