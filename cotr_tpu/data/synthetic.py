@@ -57,7 +57,8 @@ class SyntheticHomographyDataset:
                  length: int = 2048, num_kp: int = 100,
                  bidirectional: bool = True, max_corner_jitter: float = 0.2,
                  seed: int = 0, raw_uint8: bool = True,
-                 max_crop_side: int = 512, device_warp: bool = False):
+                 max_crop_side: int = 512, device_warp: bool = False,
+                 zoom: bool = False):
         if image_paths is None:
             image_paths = sorted(
                 glob.glob("/root/reference/sample_data/imgs/*.jpg") +
@@ -82,9 +83,50 @@ class SyntheticHomographyDataset:
         # host the per-sample warp caps the loader at ~2-3 batches/s; this
         # mode cuts host synthesis to crop+resize plus 3x3 math.
         self.device_warp = device_warp
+        # zoom: re-crop both frames around a seed correspondence at a random
+        # scale from the reference's stage-3 ladder (COTRZoomDataset,
+        # cotr_dataset.py:134-136 logspace(1 -> 0.1)) and upscale to 256 —
+        # the scales the zoom-in engine actually queries. Implemented by
+        # composing the crop affines into the pair homography, so one code
+        # path (and device_warp) serves both modes.
+        self.zoom = zoom
+        self.zoom_levels = np.logspace(0.0, -1.0, 10)
 
     def __len__(self):
         return self.length
+
+    def _zoom_crop(self, a: np.ndarray, h_mat: np.ndarray,
+                   rng: np.random.RandomState):
+        """Re-crop both frames around a seed correspondence at a sampled
+        zoom scale (reference get_zoomed_cap, cotr_dataset.py:177-192:
+        query-side center jittered by 0.5 crop sides, target side centered).
+
+        Returns the new frame A and the effective crop-to-crop homography
+        S_b^-1 H S_a; frame B is warp(A', H') in both host and device
+        paths, so no other code changes.
+        """
+        zoom = float(self.zoom_levels[rng.randint(len(self.zoom_levels))])
+        side_z = MAX_SIZE * zoom
+        lim = MAX_SIZE - 1.0
+        for _ in range(8):
+            p_a = rng.uniform(0.1 * lim, 0.9 * lim, 2)
+            p_b = apply_homography(h_mat, p_a[None])[0]
+            if (p_b >= 0).all() and (p_b <= lim).all():
+                break
+        else:
+            return a, h_mat  # warp pushed everything out; skip zooming
+
+        def crop_mat(center, jitter_frac):
+            c = center + rng.uniform(-jitter_frac, jitter_frac, 2) * side_z
+            x0 = float(np.clip(c[0] - side_z / 2, 0, MAX_SIZE - side_z))
+            y0 = float(np.clip(c[1] - side_z / 2, 0, MAX_SIZE - side_z))
+            return np.array([[zoom, 0, x0], [0, zoom, y0], [0, 0, 1.0]])
+
+        s_a = crop_mat(p_a, 0.5)  # query-side jitter (reference :186)
+        s_b = crop_mat(p_b, 0.0)
+        a_crop = _warp_host(a.astype(np.float32), np.linalg.inv(s_a),
+                            (MAX_SIZE, MAX_SIZE)).astype(np.uint8)
+        return a_crop, np.linalg.inv(s_b) @ h_mat @ s_a
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(self.seed * 1_000_003 + index)
@@ -106,6 +148,8 @@ class SyntheticHomographyDataset:
         jitter = rng.uniform(-self.max_corner_jitter, self.max_corner_jitter,
                              (4, 2)) * s
         h_mat = homography_from_4pts(corners, corners + jitter)
+        if self.zoom:
+            a, h_mat = self._zoom_crop(a, h_mat, rng)
         if not self.device_warp:
             b = _warp_host(a.astype(np.float32), h_mat,
                            (MAX_SIZE, MAX_SIZE)).astype(np.uint8)

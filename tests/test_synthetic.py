@@ -92,3 +92,34 @@ def test_train_step_accepts_crop_layout():
     state, metrics = step(state, jbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_zoom_mode_content_consistency():
+    """Zoom-crop pairs (stage-3 analog) must still put corresponding CONTENT
+    at the labeled points, across the whole zoom ladder, and must differ
+    from the flat-scale sample (the crops actually zoom)."""
+    from scipy.ndimage import map_coordinates
+
+    ds = SyntheticHomographyDataset(length=24, num_kp=50, seed=2,
+                                    max_corner_jitter=0.1, raw_uint8=False,
+                                    zoom=True)
+    flat = SyntheticHomographyDataset(length=24, num_kp=50, seed=2,
+                                      max_corner_jitter=0.1, raw_uint8=False)
+    changed = 0
+    for idx in range(6):
+        s = ds[idx]
+        img = s["image"]
+        corrs = s["corrs"] * np.array([512, 256, 512, 256])
+        a_gray = img[:, :256].mean(-1)
+        b_gray = img[:, 256:].mean(-1)
+        va = map_coordinates(a_gray, [corrs[:, 1], corrs[:, 0]], order=1)
+        vb = map_coordinates(b_gray, [corrs[:, 3], corrs[:, 2] - 256],
+                             order=1)
+        # tolerant: zoomed crops resample twice; compare robustly
+        # (values are ImageNet-normalized, spread ~[-2.6, 2.6])
+        assert np.median(np.abs(va - vb)) < 0.2, (idx, np.median(
+            np.abs(va - vb)))
+        assert (np.abs(va - vb) < 0.35).mean() > 0.7, idx
+        if not np.array_equal(img, flat[idx]["image"]):
+            changed += 1
+    assert changed >= 4  # most samples actually zoomed

@@ -42,6 +42,10 @@ def main():
                     help="synthesize the warped B side on device inside the "
                          "jitted step (default yes) — halves host synthesis "
                          "work, which caps throughput on few-core hosts")
+    ap.add_argument("--zoom", action="store_true",
+                    help="stage-3-style zoom-crop pairs (reference "
+                         "COTRZoomDataset): trains the scales the zoom "
+                         "engine queries")
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -71,10 +75,12 @@ def main():
 
     train_ds = SyntheticHomographyDataset(length=args.epoch_len,
                                           num_kp=args.num_kp, seed=1,
-                                          device_warp=args.device_warp)
+                                          device_warp=args.device_warp,
+                                          zoom=args.zoom)
     val_ds = SyntheticHomographyDataset(length=args.batch_size * 4,
                                         num_kp=args.num_kp, seed=777,
-                                        device_warp=args.device_warp)
+                                        device_warp=args.device_warp,
+                                        zoom=args.zoom)
 
     model = build_model(model_cfg)
     trainer = Trainer(
