@@ -58,7 +58,7 @@ class SyntheticHomographyDataset:
                  bidirectional: bool = True, max_corner_jitter: float = 0.2,
                  seed: int = 0, raw_uint8: bool = True,
                  max_crop_side: int = 512, device_warp: bool = False,
-                 zoom: bool = False):
+                 zoom: bool = False, zoom_prob: float = 1.0):
         if image_paths is None:
             image_paths = sorted(
                 glob.glob("/root/reference/sample_data/imgs/*.jpg") +
@@ -90,6 +90,9 @@ class SyntheticHomographyDataset:
         # composing the crop affines into the pair homography, so one code
         # path (and device_warp) serves both modes.
         self.zoom = zoom
+        # fraction of samples that zoom (mixed curricula keep the flat-scale
+        # seeding distribution alive during short zoom fine-tunes)
+        self.zoom_prob = zoom_prob
         self.zoom_levels = np.logspace(0.0, -1.0, 10)
 
     def __len__(self):
@@ -148,7 +151,7 @@ class SyntheticHomographyDataset:
         jitter = rng.uniform(-self.max_corner_jitter, self.max_corner_jitter,
                              (4, 2)) * s
         h_mat = homography_from_4pts(corners, corners + jitter)
-        if self.zoom:
+        if self.zoom and rng.uniform() < self.zoom_prob:
             a, h_mat = self._zoom_crop(a, h_mat, rng)
         if not self.device_warp:
             b = _warp_host(a.astype(np.float32), h_mat,

@@ -46,6 +46,9 @@ def main():
                     help="stage-3-style zoom-crop pairs (reference "
                          "COTRZoomDataset): trains the scales the zoom "
                          "engine queries")
+    ap.add_argument("--zoom_prob", type=float, default=1.0,
+                    help="fraction of zoomed samples when --zoom (mixed "
+                         "curriculum for short fine-tunes)")
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -76,11 +79,13 @@ def main():
     train_ds = SyntheticHomographyDataset(length=args.epoch_len,
                                           num_kp=args.num_kp, seed=1,
                                           device_warp=args.device_warp,
-                                          zoom=args.zoom)
+                                          zoom=args.zoom,
+                                          zoom_prob=args.zoom_prob)
     val_ds = SyntheticHomographyDataset(length=args.batch_size * 4,
                                         num_kp=args.num_kp, seed=777,
                                         device_warp=args.device_warp,
-                                        zoom=args.zoom)
+                                        zoom=args.zoom,
+                                        zoom_prob=args.zoom_prob)
 
     model = build_model(model_cfg)
     trainer = Trainer(
