@@ -204,6 +204,7 @@ def main():
         detail["guided"] = {
             "kpts": int(kp_a.shape[0] + kp_b.shape[0]), "zoom_depth": 4,
             "both_directions": True, "wall_s": round(guided_dt, 2),
+            "timing": "best-of-2 (time-shared chip; see PERF.md)",
             "reference_wall_s_gtx1080ti": 79.0,
             "speedup_vs_reference": round(79.0 / guided_dt, 2)}
 

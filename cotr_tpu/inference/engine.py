@@ -388,7 +388,11 @@ class FasterSparseEngine(SparseEngine):
         # membership-window fraction of the pilot patch. 0.5 = exact
         # reference semantics (sparse_engine.py:297); larger groups more
         # queries per canvas encode at the price of accuracy near window
-        # edges (production knob for spread workloads)
+        # edges (production knob for spread workloads). Above 1.0 members
+        # would leave the pilot's patch entirely (queries outside the
+        # canvas domain); at/below 0 grouping is meaningless.
+        if not 0.0 < safe_area <= 1.0:
+            raise ValueError(f"safe_area must be in (0, 1], got {safe_area}")
         self.safe_area = safe_area
         from cotr_tpu.inference.grouped import GroupedStepper
         # mesh: shard the squad axis across devices (multi-chip inference)

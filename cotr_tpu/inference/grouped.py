@@ -161,15 +161,17 @@ class GroupedStepper:
 
     def _step_for(self, boxes_from: np.ndarray, boxes_to: np.ndarray):
         """Pick the windowed specialization when every box in the dispatch
-        shares one square integral size (always true for engine dispatches —
-        patch size is a function of (zoom, image dims) only); otherwise the
-        generic full-image step."""
+        shares one square integral size AND integral origins (always true
+        for engine dispatches — patch_box floors its corners and patch size
+        is a function of (zoom, image dims) only); otherwise the generic
+        full-image step, which also handles fractional-origin boxes."""
         def uniform_size(b):
             if len(b) == 0:
                 return None
             s = b[0, 2]
             if (s > 0 and s == int(s) and np.all(b[:, 2] == s)
-                    and np.all(b[:, 3] == s)):
+                    and np.all(b[:, 3] == s)
+                    and np.array_equal(b[:, :2], np.floor(b[:, :2]))):
                 return int(s)
             return None
 

@@ -36,7 +36,16 @@ def load_params(path: str, cfg):
 
         restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
         if isinstance(restored, dict) and "opt_state" in restored:
-            # Trainer payload: params is the inner collection
+            # Trainer payload: params is the inner collection. Honor the
+            # same layout-version gate Trainer.load_checkpoint enforces —
+            # a silently reinterpreted stale payload is worse than an error.
+            from cotr_tpu.training.trainer import Trainer
+
+            version = int(restored.get("version", -1))
+            if version != Trainer.CKPT_VERSION:
+                raise ValueError(
+                    f"checkpoint at {path} has layout version {version}; "
+                    f"this build reads {Trainer.CKPT_VERSION}")
             params = {"params": restored["params"]}
         elif isinstance(restored, dict) and set(restored) == {"params"}:
             params = restored

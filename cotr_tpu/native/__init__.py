@@ -47,6 +47,17 @@ def _load() -> Optional[ctypes.CDLL]:
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
+    try:
+        _bind(lib, i64, f32p, f64p, i64p)
+    except AttributeError:
+        # stale .so surviving a failed rebuild lacks newer symbols; the
+        # pure-Python fallbacks take over
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib, i64, f32p, f64p, i64p):
     lib.synth_corrs.restype = i64
     lib.synth_corrs.argtypes = [f32p, i64, i64, f64p, f64p, f64p, f32p,
                                 i64, i64, f32p, i64]
@@ -61,8 +72,6 @@ def _load() -> Optional[ctypes.CDLL]:
                                     np.uint8, flags="C_CONTIGUOUS"),
                                 i64, ctypes.c_double, ctypes.c_double,
                                 i64p, i64, i64, i64p, i64p]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

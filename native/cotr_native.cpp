@@ -170,10 +170,13 @@ int64_t form_squads(const double* lf, const double* lt,
   }
   if (n_free == 0) return 0;
   // cell size: at least the window half-width (so a window spans <= 2 cell
-  // boundaries per axis) and large enough to bound the grid at ~4 cells
-  // per free task
-  double cell = std::max(half_f, 1e-9);
+  // boundaries per axis), never finer than span/2048 per axis (bounds the
+  // grid even when half_f ~ 0 — e.g. a degenerate zero patch size — where
+  // an unbounded nx*ny would overflow; members then reduce to forced
+  // pilots, matching the numpy scan), and large enough to bound the grid
+  // at ~4 cells per free task
   const double spanx = maxx - minx, spany = maxy - miny;
+  double cell = std::max({half_f, spanx / 2048.0, spany / 2048.0, 1e-9});
   int64_t nx = static_cast<int64_t>(spanx / cell) + 1;
   int64_t ny = static_cast<int64_t>(spany / cell) + 1;
   while (nx * ny > 4 * n_free + 4) {

@@ -174,3 +174,14 @@ def test_safe_area_knob_groups_more_and_stays_exact(nonsquare_image):
                                  img.shape[:2], img.shape[:2], 256,
                                  np.random.RandomState(0), safe_area=1.0)
     assert len(pilots_wide) < len(pilots_ref)
+
+
+def test_safe_area_validation():
+    """Out-of-domain safe_area values must be rejected: above 1.0 members
+    leave the pilot patch (queries outside the canvas domain), at/below 0
+    grouping is meaningless (and used to reach a native abort)."""
+    from cotr_tpu.inference.engine import FasterSparseEngine
+
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            FasterSparseEngine(IdentityRunner(), safe_area=bad)

@@ -145,3 +145,28 @@ def test_form_squads_native_matches_numpy(seed):
     nat_sq, nat_pilots = out
     np.testing.assert_array_equal(nat_pilots, ref_pilots)
     np.testing.assert_array_equal(nat_sq, ref_sq)
+
+
+def test_form_squads_native_degenerate_half_width():
+    """half_f ~ 0 (zero patch size or safe_area -> 0) must not abort the
+    process: the grid clamps at span/2048 per axis and every pilot becomes
+    a singleton squad, matching the numpy scan."""
+    from cotr_tpu.inference.grouped import _form_squads_numpy
+
+    rng = np.random.RandomState(0)
+    t = 64
+    loc = np.stack([rng.uniform(0, 500, t), rng.uniform(0, 400, t)], 1)
+    active = np.ones(t, bool)
+    order = np.arange(t)
+    out = native.form_squads(loc, loc, loc[:, 0], loc[:, 1],
+                             loc[:, 0], loc[:, 1], active, 0.0, 0.0,
+                             order, 8)
+    if out is None:
+        pytest.skip("native library unavailable")
+    sq, pilots = out
+    ref_sq, ref_pilots = _form_squads_numpy(
+        loc, loc, active, loc[:, 0], loc[:, 1], loc[:, 0], loc[:, 1],
+        0.0, 0.0, order, 8)
+    np.testing.assert_array_equal(pilots, ref_pilots)
+    np.testing.assert_array_equal(sq, ref_sq)
+    assert len(pilots) == t  # strict < 0 window: all singletons

@@ -141,3 +141,25 @@ def test_side_by_side():
     c = two_images_side_by_side(a, b)
     assert c.shape == (4, 8, 3)
     assert c[:, :4].all() and not c[:, 4:].any()
+
+
+def test_grouped_stepper_fractional_boxes_use_generic_path():
+    """Fractional-origin boxes must NOT select the windowed specialization
+    (dynamic_slice floors starts, silently shifting crops); the stepper
+    falls back to the full-image interpolation matrices."""
+    from cotr_tpu.inference.grouped import GroupedStepper
+
+    class _R:
+        model = None
+
+    stepper = GroupedStepper.__new__(GroupedStepper)
+    intact = np.array([[10.0, 20.0, 64.0, 64.0]], np.float32)
+    frac = np.array([[10.5, 20.25, 64.0, 64.0]], np.float32)
+    assert stepper._step_for.__func__  # bound without __init__
+    # integral boxes -> windowed key; fractional -> generic (None, None)
+    stepper._sized_steps = {}
+    stepper._step = "generic"
+    stepper._make_step = lambda sf, st: ("windowed", sf, st)
+    assert stepper._step_for(intact, intact) == ("windowed", 64, 64)
+    assert stepper._step_for(frac, intact) == "generic"
+    assert stepper._step_for(intact, frac) == "generic"
