@@ -57,7 +57,11 @@ class SfmScene:
             "scene was not read with covisibility=True")
         covis_img_id = set()
         for pid in cap.point3d_id:
-            covis_img_id.update(self.point_meta[int(pid)].tolist())
+            # real COLMAP exports can reference a POINT3D_ID in images.txt
+            # that was filtered out of points3D.txt; skip those points
+            meta = self.point_meta.get(int(pid))
+            if meta is not None:
+                covis_img_id.update(meta.tolist())
         return [self.captures[self.img_id_to_index_dict[i]]
                 for i in sorted(covis_img_id)
                 if i in self.img_id_to_index_dict]

@@ -98,12 +98,18 @@ def _form_squads_numpy(loc_from, loc_to, active, cf_x, cf_y, ct_x, ct_y,
             continue
         g = len(pilots)
         pilots.append(pid)
+        # pilot claimed FIRST (reference bookkeeping[pilot_id] = False before
+        # the window scan, sparse_engine.py:316): it can never be truncated
+        # out of its own squad by the max_load cap, which would freeze it at
+        # its unrefined value through the final-zoom revisit check
+        squad_of[pid] = g
+        free[pid] = False
         inside = (free &
                   (np.abs(loc_from[:, 0] - cf_x[pid]) < half_f) &
                   (np.abs(loc_from[:, 1] - cf_y[pid]) < half_f) &
                   (np.abs(loc_to[:, 0] - ct_x[pid]) < half_t) &
                   (np.abs(loc_to[:, 1] - ct_y[pid]) < half_t))
-        inside[pid] = True
+        # up to max_load OTHER members join (sparse_engine.py:320-327)
         members = np.where(inside)[0][:max_load]
         squad_of[members] = g
         free[members] = False
@@ -251,7 +257,7 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
         # counts vary with the squad-formation RNG, and a data-dependent
         # ladder of shapes caused fresh XLA compiles mid-run
         m_pad = member_bucket if m_max <= member_bucket \
-            else max(max_load, member_bucket)
+            else max(max_load + 1, member_bucket)
         g_pad = group_bucket if gc <= group_bucket else group_cap
 
         queries = np.zeros((g_pad, m_pad, 2), np.float32)

@@ -134,14 +134,15 @@ int64_t count_valid_depth(const float* depth, int64_t h, int64_t w) {
 // sparse_engine.py:295-337), grid-bucketed.
 //
 // Exact transcription of cotr_tpu.inference.grouped.form_squads: walk the
-// permuted candidate order; each still-free task becomes a pilot; every free
-// task whose loc_from AND loc_to fall strictly inside the pilot's SAFE_AREA
-// windows joins (ascending task id, capped at max_load, pilot force-included
-// even when its own clamped patch center fails the window test). The numpy
-// version scans all T tasks per pilot (O(P*T) — ~0.5 s at 10k tasks on the
-// 1-core host); here candidates come from a uniform grid over loc_from with
-// cell >= the window half-width, so each pilot touches only neighboring
-// cells.
+// permuted candidate order; each still-free task becomes a pilot and is
+// claimed FIRST (reference sparse_engine.py:316 clears the pilot's
+// bookkeeping before the window scan, so the cap can never truncate the
+// pilot out of its own squad); every other free task whose loc_from AND
+// loc_to fall strictly inside the pilot's SAFE_AREA windows joins
+// (ascending task id, capped at max_load others). The numpy version scans
+// all T tasks per pilot (O(P*T) — ~0.5 s at 10k tasks on the 1-core host);
+// here candidates come from a uniform grid over loc_from with cell >= the
+// window half-width, so each pilot touches only neighboring cells.
 //
 // lf, lt: (T, 2) float64 task positions; cfx..cty: (T,) per-task pilot patch
 // centers (precomputed, clamp-aware); active: (T,) uint8; order: permuted
@@ -208,6 +209,10 @@ int64_t form_squads(const double* lf, const double* lt,
   for (int64_t oi = 0; oi < n_order; ++oi) {
     const int64_t pid = order[oi];
     if (!free_[pid]) continue;
+    // pilot claimed before the candidate sweep (it is skipped below via
+    // free_[pid] == 0); squad then holds the pilot + up to max_load others
+    free_[pid] = 0;
+    squad_of[pid] = g;
     const double pfx = cfx[pid], pfy = cfy[pid];
     const double ptx = ctx[pid], pty = cty[pid];
     cand.clear();
@@ -219,20 +224,14 @@ int64_t form_squads(const double* lf, const double* lt,
         for (int64_t k = start[b]; k < start[b + 1]; ++k) {
           const int64_t i = ids[k];
           if (!free_[i]) continue;
-          if (i != pid) {
-            if (!(std::abs(lf[2 * i] - pfx) < half_f)) continue;
-            if (!(std::abs(lf[2 * i + 1] - pfy) < half_f)) continue;
-            if (!(std::abs(lt[2 * i] - ptx) < half_t)) continue;
-            if (!(std::abs(lt[2 * i + 1] - pty) < half_t)) continue;
-          }
+          if (!(std::abs(lf[2 * i] - pfx) < half_f)) continue;
+          if (!(std::abs(lf[2 * i + 1] - pfy) < half_f)) continue;
+          if (!(std::abs(lt[2 * i] - ptx) < half_t)) continue;
+          if (!(std::abs(lt[2 * i + 1] - pty) < half_t)) continue;
           cand.push_back(i);
         }
       }
     }
-    // clamped patch centers can leave the pilot's own position outside the
-    // swept cells (inside[pid] = True in the transcription)
-    const int64_t pcx = cix(lf[2 * pid]), pcy = ciy(lf[2 * pid + 1]);
-    if (pcx < x0 || pcx > x1 || pcy < y0 || pcy > y1) cand.push_back(pid);
     std::sort(cand.begin(), cand.end());
     const int64_t take =
         std::min<int64_t>(static_cast<int64_t>(cand.size()), max_load);

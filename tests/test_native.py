@@ -147,6 +147,36 @@ def test_form_squads_native_matches_numpy(seed):
     np.testing.assert_array_equal(nat_sq, ref_sq)
 
 
+def test_form_squads_pilot_always_in_own_squad():
+    """Overloaded window: when more than max_load free tasks fall in one
+    pilot window and the pilot's id sorts past the cap, the pilot must STILL
+    be a member of its own squad (reference sparse_engine.py:316 claims the
+    pilot before the window scan; a pilot with no update at the final zoom
+    would freeze at its unrefined value through the revisit check). Squads
+    hold the pilot + up to max_load others."""
+    from cotr_tpu.inference.grouped import _form_squads_numpy
+
+    t = 40
+    max_load = 8
+    # all tasks at nearly the same spot -> one giant window; pilot id = 30
+    # sorts far past max_load among the ascending member ids
+    loc = np.full((t, 2), 100.0) + np.arange(t)[:, None] * 1e-3
+    active = np.ones(t, bool)
+    order = np.array([30] + [i for i in range(t) if i != 30])
+    args = (loc, loc, active, loc[:, 0], loc[:, 1], loc[:, 0], loc[:, 1],
+            50.0, 50.0, order, max_load)
+    sq, pilots = _form_squads_numpy(*args)
+    assert pilots[0] == 30
+    assert sq[30] == 0, "pilot truncated out of its own squad"
+    assert (sq == 0).sum() == max_load + 1  # pilot + max_load others
+    out = native.form_squads(loc, loc, loc[:, 0], loc[:, 1],
+                             loc[:, 0], loc[:, 1], active, 50.0, 50.0,
+                             order, max_load)
+    if out is not None:
+        np.testing.assert_array_equal(out[0], sq)
+        np.testing.assert_array_equal(out[1], pilots)
+
+
 def test_form_squads_native_degenerate_half_width():
     """half_f ~ 0 (zero patch size or safe_area -> 0) must not abort the
     process: the grid clamps at span/2048 per axis and every pilot becomes
