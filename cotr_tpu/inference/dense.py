@@ -73,34 +73,39 @@ def full_grid_queries(h: int = MAX_SIZE, w: int = 2 * MAX_SIZE) -> np.ndarray:
 
 
 def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
-    """canvas (1, 256, 512, 3) normalized -> (256, 512, 3) stacked
+    """canvas (B, 256, 512, 3) normalized -> (B, 256, 512, 3) stacked
     [corr_x, corr_y (global canvas coords in [-1,1] doubled per half),
     confidence] exactly as reference one_pass (inference_helper.py:106-145).
-    """
-    queries = jnp.asarray(full_grid_queries())[None]  # (1, HW, 2)
-    memory = runner.encode(canvas)
-    out = runner.decode_chunked(memory, queries)[0]  # (HW, 2)
 
+    The batch axis carries independent canvases — patch-pairs of one image
+    pair and/or canvases of DIFFERENT pairs — so multi-pair workloads fill
+    the encode batch and amortize the 131k-query decode scan.
+    """
+    b = canvas.shape[0]
     h, w = MAX_SIZE, 2 * MAX_SIZE
-    out_grid = out.reshape(h, w, 2) * 2 - 1
-    in_grid = queries[0].reshape(h, w, 2) * 2 - 1
+    queries = jnp.broadcast_to(jnp.asarray(full_grid_queries())[None],
+                               (b, h * w, 2))
+    memory = runner.encode(canvas)
+    out = runner.decode_chunked(memory, queries)  # (B, HW, 2)
+
+    out_grid = out.reshape(b, h, w, 2) * 2 - 1
+    in_grid = queries.reshape(b, h, w, 2) * 2 - 1
     # flow-through-itself cycle (inference_helper.py:137-140)
-    cycle = grid_sample(out_grid, out_grid)  # field sampled at predictions
+    cycle = jax.vmap(grid_sample)(out_grid, out_grid)
     confidence = jnp.linalg.norm(cycle - in_grid, axis=-1)
 
     # remap x to per-image [-1, 1]: left-half queries predict into image b,
     # right-half into image a (inference_helper.py:142-143)
     corr_x = jnp.concatenate([
-        out_grid[:, :MAX_SIZE, 0] * 2 - 1,
-        out_grid[:, MAX_SIZE:, 0] * 2 + 1,
-    ], axis=1)
+        out_grid[:, :, :MAX_SIZE, 0] * 2 - 1,
+        out_grid[:, :, MAX_SIZE:, 0] * 2 + 1,
+    ], axis=2)
     return jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
 
 
-def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
-               img_b_sq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Two square uint8/float images -> (corr_a, corr_b) each (256, 256, 3):
-    per-pixel [-1,1] target coords in the *other* image + cycle confidence.
+def _canvas_from_pair(img_a_sq: np.ndarray, img_b_sq: np.ndarray
+                      ) -> jnp.ndarray:
+    """Two square uint8/float images -> (1, 256, 512, 3) normalized canvas.
 
     Transfer-conscious: uint8 inputs upload as uint8 (the tunnel to the chip
     moves ~30 MB/s; float uploads of megapixel patches dominated the seed
@@ -112,9 +117,16 @@ def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
             f = f / 255.0
         return resize_bilinear(f, (MAX_SIZE, MAX_SIZE))
 
-    canvas = normalize_canvas(
+    return normalize_canvas(
         two_images_side_by_side(to_dev(img_a_sq), to_dev(img_b_sq)))[None]
-    corr = np.asarray(_dense_pass_device(runner, canvas))
+
+
+def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
+               img_b_sq: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Two square uint8/float images -> (corr_a, corr_b) each (256, 256, 3):
+    per-pixel [-1,1] target coords in the *other* image + cycle confidence."""
+    canvas = _canvas_from_pair(img_a_sq, img_b_sq)
+    corr = np.asarray(_dense_pass_device(runner, canvas))[0]
     return corr[:, :MAX_SIZE], corr[:, MAX_SIZE:]
 
 
@@ -164,6 +176,65 @@ def merge_flow_patches(corrs: List[ImagePatch]
     return flow, confidence, cmap
 
 
+def dense_flow_many(runner: ModelRunner, pairs,
+                    canvas_batch: int = 8) -> List[Tuple]:
+    """``cotr_flow`` over MANY image pairs with one batched device pass.
+
+    ``pairs``: sequence of (img_a, img_b). Every patch-pair canvas of every
+    image pair joins one device batch (chunked to ``canvas_batch``), so N
+    small pairs cost ~one dense pass instead of N — the seed-pass half of
+    the multi-pair engine (the reference evaluates pairs serially,
+    sparse_engine.py:197 + its demo loops). Host-side affine mapping, field
+    resize and min-confidence merging stay per pair, identical to
+    :func:`dense_flow`.
+
+    Returns one (corr_a, con_a, corr_b, con_b) tuple per pair.
+    """
+    jobs = []  # (pair_index, p_i, p_j)
+    for pi, (img_a, img_b) in enumerate(pairs):
+        for p_i in to_square_patches(img_a):
+            for p_j in to_square_patches(img_b):
+                jobs.append((pi, p_i, p_j))
+
+    # device: build every canvas (small per-image resizes), run the heavy
+    # encode + 131k-query decode in batches
+    outs = []
+    for start in range(0, len(jobs), canvas_batch):
+        chunk = jobs[start:start + canvas_batch]
+        canvas = jnp.concatenate(
+            [_canvas_from_pair(p_i.patch, p_j.patch)
+             for _, p_i, p_j in chunk], axis=0)
+        outs.append(np.asarray(_dense_pass_device(runner, canvas)))
+    corr_all = np.concatenate(outs, axis=0) if outs else \
+        np.zeros((0, MAX_SIZE, 2 * MAX_SIZE, 3))
+
+    per_pair_a: List[List[ImagePatch]] = [[] for _ in pairs]
+    per_pair_b: List[List[ImagePatch]] = [[] for _ in pairs]
+    for k, (pi, p_i, p_j) in enumerate(jobs):
+        c_i = corr_all[k, :, :MAX_SIZE].copy()
+        c_j = corr_all[k, :, MAX_SIZE:].copy()
+        # map patch-local predictions to global [-1,1] of the other image
+        s_j, t_j = _patch_affine(p_j)
+        s_i, t_i = _patch_affine(p_i)
+        c_i[..., :2] = c_i[..., :2] * s_j + t_j
+        c_j[..., :2] = c_j[..., :2] * s_i + t_i
+        # host-side PIL resize: the upsampled fields are ~10x larger
+        # than the (256, 256) originals and would saturate the tunnel
+        c_i = _resize_field_host(c_i, (p_i.h, p_i.w))
+        c_j = _resize_field_host(c_j, (p_j.h, p_j.w))
+        per_pair_a[pi].append(ImagePatch(c_i, p_i.x, p_i.y, p_i.w, p_i.h,
+                                         p_i.ow, p_i.oh))
+        per_pair_b[pi].append(ImagePatch(c_j, p_j.x, p_j.y, p_j.w, p_j.h,
+                                         p_j.ow, p_j.oh))
+
+    results = []
+    for pi in range(len(pairs)):
+        corr_a, con_a, _ = merge_flow_patches(per_pair_a[pi])
+        corr_b, con_b, _ = merge_flow_patches(per_pair_b[pi])
+        results.append((corr_a, con_a, corr_b, con_b))
+    return results
+
+
 def dense_flow(runner: ModelRunner, img_a: np.ndarray, img_b: np.ndarray):
     """Reference ``cotr_flow`` (inference_helper.py:168-182): exhaustive
     patch-pair dense passes, affine-merged into full-frame flow fields.
@@ -171,33 +242,7 @@ def dense_flow(runner: ModelRunner, img_a: np.ndarray, img_b: np.ndarray):
     Returns (corr_a, con_a, corr_b, con_b): corr_* are (H, W, 2) flows in the
     other image's [-1, 1] coords; con_* are (H, W) cycle errors.
     """
-    patches_a = to_square_patches(img_a)
-    patches_b = to_square_patches(img_b)
-
-    corrs_a: List[ImagePatch] = []
-    corrs_b: List[ImagePatch] = []
-    for p_i in patches_a:
-        for p_j in patches_b:
-            c_i, c_j = dense_pass(runner, p_i.patch, p_j.patch)
-            # map patch-local predictions to global [-1,1] of the other image
-            s_j, t_j = _patch_affine(p_j)
-            s_i, t_i = _patch_affine(p_i)
-            c_i = c_i.copy()
-            c_j = c_j.copy()
-            c_i[..., :2] = c_i[..., :2] * s_j + t_j
-            c_j[..., :2] = c_j[..., :2] * s_i + t_i
-            # host-side PIL resize: the upsampled fields are ~10x larger
-            # than the (256, 256) originals and would saturate the tunnel
-            c_i = _resize_field_host(c_i, (p_i.h, p_i.w))
-            c_j = _resize_field_host(c_j, (p_j.h, p_j.w))
-            corrs_a.append(ImagePatch(c_i, p_i.x, p_i.y, p_i.w, p_i.h,
-                                      p_i.ow, p_i.oh))
-            corrs_b.append(ImagePatch(c_j, p_j.x, p_j.y, p_j.w, p_j.h,
-                                      p_j.ow, p_j.oh))
-
-    corr_a, con_a, _ = merge_flow_patches(corrs_a)
-    corr_b, con_b, _ = merge_flow_patches(corrs_b)
-    return corr_a, con_a, corr_b, con_b
+    return dense_flow_many(runner, [(img_a, img_b)], canvas_batch=4)[0]
 
 
 def warp_by_flow(img_other: np.ndarray, corr: np.ndarray) -> np.ndarray:

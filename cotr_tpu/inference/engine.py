@@ -89,7 +89,8 @@ class SparseEngine:
 
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
-                 image_bucket: int = 256, seed: int = 0, crop_dtype=None):
+                 image_bucket: int = 256, seed: int = 0, crop_dtype=None,
+                 mesh=None):
         # batch_size bounds canvases per device dispatch: each canvas costs
         # ~8 MB of encoder attention temps per layer (f32), so very large
         # batches exhaust HBM with no throughput benefit
@@ -104,8 +105,11 @@ class SparseEngine:
         self.crop_dtype = crop_dtype if crop_dtype is not None else \
             jnp.dtype(getattr(getattr(runner.model, "cfg", None), "dtype",
                               "float32"))
+        # mesh: shard the refinement scan's task axis across devices
+        # (multi-chip inference for the default engine; the grouped engine
+        # shards its squad axis the same way)
         self.refiner = BatchRefiner(runner, bucket=image_bucket,
-                                    crop_dtype=self.crop_dtype)
+                                    crop_dtype=self.crop_dtype, mesh=mesh)
         self.rng = np.random.RandomState(seed)
         self.total_tasks = 0
 
@@ -116,33 +120,58 @@ class SparseEngine:
 
     # ------------------------------------------------------------------ seed
 
+    def _dense_fields_many(self, pairs):
+        """Dense seed passes for many pairs honoring the engine mode
+        (sparse_engine.py:114-141), batched through one device pass
+        (dense_flow_many). Returns one (corr_a, con_a, corr_b, con_b) per
+        pair, at ORIGINAL image resolutions."""
+        from cotr_tpu.inference.dense import dense_flow_many
+
+        prepped = []
+        for img_a, img_b in pairs:
+            a_shape = img_a.shape[:2]
+            b_shape = img_b.shape[:2]
+            nonsquare = (a_shape[0] != a_shape[1] or
+                         b_shape[0] != b_shape[1])
+            if self.mode == "stretching" and nonsquare:
+                prepped.append((stretch_to_square(img_a),
+                                stretch_to_square(img_b),
+                                True, a_shape, b_shape))
+            else:
+                prepped.append((img_a, img_b, False, a_shape, b_shape))
+        raw = dense_flow_many(self.runner,
+                              [(a, b) for a, b, _, _, _ in prepped])
+        out = []
+        for (_, _, stretched, a_shape, b_shape), \
+                (corr_a, con_a, corr_b, con_b) in zip(prepped, raw):
+            if stretched:
+                corr_a = _resize_field(corr_a, a_shape)
+                con_a = _resize_field(con_a, a_shape)
+                corr_b = _resize_field(corr_b, b_shape)
+                con_b = _resize_field(con_b, b_shape)
+            out.append((corr_a, con_a, corr_b, con_b))
+        return out
+
     def _dense_fields(self, img_a: np.ndarray, img_b: np.ndarray):
         """Dense seed pass honoring the engine mode (sparse_engine.py:114-141).
 
         Returns (corr_a, con_a, corr_b, con_b) at ORIGINAL image resolutions.
         """
-        a_shape = img_a.shape[:2]
-        b_shape = img_b.shape[:2]
-        nonsquare = a_shape[0] != a_shape[1] or b_shape[0] != b_shape[1]
-        if self.mode == "stretching" and nonsquare:
-            corr_a, con_a, corr_b, con_b = dense_flow(
-                self.runner, stretch_to_square(img_a),
-                stretch_to_square(img_b))
-            corr_a = _resize_field(corr_a, a_shape)
-            con_a = _resize_field(con_a, a_shape)
-            corr_b = _resize_field(corr_b, b_shape)
-            con_b = _resize_field(con_b, b_shape)
-        else:
-            corr_a, con_a, corr_b, con_b = dense_flow(self.runner, img_a, img_b)
-        return corr_a, con_a, corr_b, con_b
+        return self._dense_fields_many([(img_a, img_b)])[0]
 
-    def _seed_tasks(self, img_a, img_b, max_corrs, queries_a, force):
+    def _seed_tasks(self, img_a, img_b, max_corrs, queries_a, force,
+                    dense=None, rng=None):
         """Vectorized gen_tasks (sparse_engine.py:108-195).
 
         Returns (loc_from, loc_to, identifiers, area_a, area_b); all task
-        arrays describe a->b refinements.
+        arrays describe a->b refinements. ``dense`` short-circuits the seed
+        pass with precomputed fields; ``rng`` overrides the engine stream
+        (per-pair streams keep multi-pair runs equal to serial ones).
         """
-        corr_a, con_a, corr_b, con_b = self._dense_fields(img_a, img_b)
+        if rng is None:
+            rng = self.rng
+        corr_a, con_a, corr_b, con_b = dense if dense is not None \
+            else self._dense_fields(img_a, img_b)
         h_a, w_a = img_a.shape[:2]
         h_b, w_b = img_b.shape[:2]
         mask_a = con_a < THRESHOLD_SPARSE
@@ -159,11 +188,11 @@ class SparseEngine:
             # (sparse_engine.py:148-166)
             idx_a = np.argwhere(mask_a)
             idx_b = np.argwhere(mask_b)
-            sel_a = idx_a[self.rng.choice(len(idx_a),
-                                          min(max_corrs, len(idx_a)))] \
+            sel_a = idx_a[rng.choice(len(idx_a),
+                                     min(max_corrs, len(idx_a)))] \
                 if len(idx_a) else np.zeros((0, 2), int)
-            sel_b = idx_b[self.rng.choice(len(idx_b),
-                                          min(max_corrs, len(idx_b)))] \
+            sel_b = idx_b[rng.choice(len(idx_b),
+                                     min(max_corrs, len(idx_b)))] \
                 if len(idx_b) else np.zeros((0, 2), int)
             lf_a = sel_a[:, ::-1].astype(np.float64)
             lt_a = lookup(corr_a, sel_a, (w_b, h_b))
@@ -258,10 +287,14 @@ class SparseEngine:
                              converge_iters: int = 1, max_corrs: int = 1000,
                              queries_a: Optional[np.ndarray] = None,
                              return_idx: bool = False, force: bool = False,
-                             areas: Optional[Sequence[float]] = None):
+                             areas: Optional[Sequence[float]] = None,
+                             _dense=None):
         """Reference API (sparse_engine.py:197-233): multiscale sparse
         correspondence a->b. Returns (max_corrs, 4) [x_a, y_a, x_b, y_b]
-        (+ query indices with return_idx)."""
+        (+ query indices with return_idx). ``_dense``: precomputed seed
+        fields (the cycle wrapper batches both directions' dense passes
+        through one device call; the fields depend only on the images, so
+        precomputing changes nothing)."""
         img_a = np.asarray(img_a)
         img_b = np.asarray(img_b)
         if queries_a is not None:
@@ -277,7 +310,7 @@ class SparseEngine:
             area_a, area_b = float(areas[0]), float(areas[1])
         else:
             loc_from, loc_to, ident, area_a, area_b = self._seed_tasks(
-                img_a, img_b, max_corrs, queries_a, force)
+                img_a, img_b, max_corrs, queries_a, force, dense=_dense)
 
         if len(loc_from) == 0:
             empty = np.zeros((0, 4))
@@ -302,14 +335,22 @@ class SparseEngine:
         if queries_a is not None:
             temp_max = min(temp_max, queries_a.shape[0])
             queries_a = np.asarray(queries_a, np.float64).copy()
+        # both directions' dense seed passes depend only on the images, so
+        # they share ONE batched device pass up front (the reference runs
+        # cotr_flow twice serially, sparse_engine.py:235-264) — bitwise the
+        # same fields, half the seed-pass dispatches
+        dense_f, dense_b = self._dense_fields_many(
+            [(np.asarray(img_a), np.asarray(img_b)),
+             (np.asarray(img_b), np.asarray(img_a))])
         corr_f, idx_f = self.cotr_corr_multiscale(
             img_a, img_b, zoom_ins=zoom_ins, converge_iters=converge_iters,
-            max_corrs=temp_max, queries_a=queries_a, return_idx=True)
+            max_corrs=temp_max, queries_a=queries_a, return_idx=True,
+            _dense=dense_f)
         assert corr_f.shape[0] > 0, "forward pass produced no correspondences"
         corr_b, idx_b = self.cotr_corr_multiscale(
             img_b, img_a, zoom_ins=zoom_ins, converge_iters=converge_iters,
             max_corrs=corr_f.shape[0], queries_a=corr_f[:, 2:].copy(),
-            return_idx=True)
+            return_idx=True, _dense=dense_b)
         assert corr_b.shape[0] > 0, "backward pass produced no correspondences"
         cycle_errors = np.linalg.norm(corr_f[idx_b][:, :2] - corr_b[:, 2:],
                                       axis=1)
@@ -383,7 +424,7 @@ class FasterSparseEngine(SparseEngine):
                  image_bucket: int = 256, seed: int = 0, max_load: int = 256,
                  mesh=None, crop_dtype=None, safe_area: float = 0.5):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
-                         seed, crop_dtype=crop_dtype)
+                         seed, crop_dtype=crop_dtype, mesh=mesh)
         self.max_load = max_load
         # membership-window fraction of the pilot patch. 0.5 = exact
         # reference semantics (sparse_engine.py:297); larger groups more
@@ -419,3 +460,186 @@ class FasterSparseEngine(SparseEngine):
             max_load=self.max_load, safe_area=self.safe_area)
         self.total_tasks += history.shape[0] * history.shape[1]
         return np.concatenate([np.asarray(loc_to)[None], history], axis=0)
+
+    # ------------------------------------------------------- multi-pair API
+
+    def _stack_images(self, imgs):
+        """Pad N images to one common bucketed shape and upload as ONE
+        (N, Hp, Wp, 3) [0,1] device stack (uint8 on the wire when possible —
+        the tunnel moves ~30 MB/s)."""
+        bucket = self.refiner.bucket
+        hp = max(-(-im.shape[0] // bucket) * bucket for im in imgs)
+        wp = max(-(-im.shape[1] // bucket) * bucket for im in imgs)
+        all_uint8 = all(im.dtype == np.uint8 for im in imgs)
+        stack = np.zeros((len(imgs), hp, wp, 3),
+                         np.uint8 if all_uint8 else np.float32)
+        for i, im in enumerate(imgs):
+            stack[i, :im.shape[0], :im.shape[1]] = \
+                im if all_uint8 else _to_float01(im)
+        dev = jnp.asarray(stack).astype(jnp.float32)
+        if all_uint8:
+            dev = dev / 255.0
+        return dev
+
+    def cotr_corr_multiscale_multipair(
+            self, pairs, zoom_ins: Sequence[float] = (1.0,),
+            converge_iters: int = 1, max_corrs: int = 1000,
+            queries_list=None, force: bool = False, areas_list=None,
+            return_idx: bool = False, pair_seeds=None):
+        """Batched multi-pair matching: ONE call refines N image pairs with
+        shared device dispatches. The reference engine handles exactly one
+        pair per call (sparse_engine.py:197) and its evaluations loop pairs
+        serially; here the dense seed pass batches every pair's canvases
+        (dense_flow_many) and refinement squads carry per-pair image indices
+        (refine_grouped_pairs), so modest per-pair workloads — a MegaDepth
+        val sweep, both directions of a guided-matching job — fill the
+        canvas-encode batch instead of paying the dispatch floor per pair.
+
+        pairs: [(img_a, img_b)] * N. ``queries_list``/``areas_list``:
+        optional per-pair analogs of ``queries_a``/``areas``. ``max_corrs``
+        may be a scalar or one value per pair. ``pair_seeds``: per-pair RNG
+        seeds (ints, or live RandomState streams for callers chaining
+        multipair calls); results match N serial ``cotr_corr_multiscale``
+        calls on engines constructed with ``seed=pair_seeds[i]`` (within
+        float tolerance of the dispatch-composition change).
+
+        Returns a list of per-pair corrs (max_corrs, 4), or (corrs, idx)
+        tuples with ``return_idx``.
+        """
+        from cotr_tpu.inference.grouped import refine_grouped_pairs
+
+        n = len(pairs)
+        pairs = [(np.asarray(a), np.asarray(b)) for a, b in pairs]
+        if queries_list is None:
+            queries_list = [None] * n
+        queries_list = [None if q is None
+                        else np.asarray(q, np.float64).copy()
+                        for q in queries_list]
+        max_corrs_list = list(max_corrs) if np.ndim(max_corrs) else \
+            [int(max_corrs)] * n
+        if pair_seeds is None:
+            pair_seeds = [int(self.rng.randint(2 ** 31 - 1))
+                          for _ in range(n)]
+        rngs = [s if isinstance(s, np.random.RandomState)
+                else np.random.RandomState(s) for s in pair_seeds]
+
+        # ---- seed (batched dense pass unless scales are known)
+        if areas_list is not None:
+            seeds = []
+            for (a, b), q, ar in zip(pairs, queries_list, areas_list):
+                assert q is not None and force
+                corr = self.corr_base(a, b, q)
+                seeds.append((corr[:, :2], corr[:, 2:],
+                              np.arange(len(corr)),
+                              float(ar[0]), float(ar[1])))
+        else:
+            dense = self._dense_fields_many(pairs)
+            seeds = [self._seed_tasks(a, b, max_corrs_list[i], q, force,
+                                      dense=dense[i], rng=rngs[i])
+                     for i, ((a, b), q) in enumerate(zip(pairs,
+                                                         queries_list))]
+
+        imgs_a_dev = self._stack_images([a for a, _ in pairs])
+        imgs_b_dev = self._stack_images([b for _, b in pairs])
+
+        pair_states = []
+        for i, (lf, lt, ident, area_a, area_b) in enumerate(seeds):
+            s_from, s_to = relative_scales(area_a, area_b)
+            pair_states.append(dict(
+                hw_a=pairs[i][0].shape[:2], hw_b=pairs[i][1].shape[:2],
+                s_from=s_from, s_to=s_to,
+                loc_from=np.asarray(lf, np.float64),
+                loc_to=np.asarray(lt, np.float64), rng=rngs[i]))
+
+        hists = refine_grouped_pairs(
+            self._stepper, imgs_a_dev, imgs_b_dev, pair_states, zoom_ins,
+            converge_iters=converge_iters, max_load=self.max_load,
+            safe_area=self.safe_area)
+
+        results = []
+        for i, (lf, lt, ident, _, _) in enumerate(seeds):
+            if len(lf) == 0:
+                empty = np.zeros((0, 4))
+                results.append((empty, np.zeros(0, int)) if return_idx
+                               else empty)
+                continue
+            if np.isnan(hists[i]).any():
+                raise ValueError(
+                    "NaN in refinement predictions (sparse_engine.py:54-55)")
+            self.total_tasks += hists[i].shape[0] * hists[i].shape[1]
+            history = np.concatenate(
+                [np.asarray(lt, np.float64)[None], hists[i]], axis=0)
+            corrs, idx = self._conclude(
+                np.asarray(lf, np.float64), history, ident,
+                pairs[i][0].shape[:2], pairs[i][1].shape[:2], force)
+            corrs, idx = corrs[:max_corrs_list[i]], idx[:max_corrs_list[i]]
+            results.append((corrs, idx) if return_idx else corrs)
+        return results
+
+    def cotr_corr_multiscale_with_cycle_consistency_multipair(
+            self, pairs, zoom_ins: Sequence[float] = (1.0,),
+            converge_iters: int = 1, max_corrs: int = 1000,
+            queries_list=None, return_idx: bool = False,
+            return_cycle_error: bool = False, pair_seeds=None):
+        """Bidirectional cycle-ranked matching over MANY pairs: all N
+        forward (a->b) jobs share device dispatches, then all N backward
+        (b->a) jobs do — 2N canvas-encode streams collapse into 2 batched
+        phases (the reference runs each direction of each pair serially,
+        sparse_engine.py:235-264). Per-pair results match serial
+        ``cotr_corr_multiscale_with_cycle_consistency`` calls on engines
+        seeded ``pair_seeds[i]``.
+        """
+        EXTRACTION_RATE = 0.3  # sparse_engine.py:241
+        n = len(pairs)
+        pairs = [(np.asarray(a), np.asarray(b)) for a, b in pairs]
+        if queries_list is None:
+            queries_list = [None] * n
+        if pair_seeds is None:
+            pair_seeds = [int(self.rng.randint(2 ** 31 - 1))
+                          for _ in range(n)]
+        # live streams: each pair's forward seeding/refinement and backward
+        # seeding/refinement must consume ONE stream in serial order
+        rngs = [s if isinstance(s, np.random.RandomState)
+                else np.random.RandomState(s) for s in pair_seeds]
+
+        temp_max = []
+        q_fwd = []
+        for q in queries_list:
+            tm = int(max_corrs / EXTRACTION_RATE)
+            if q is not None:
+                q = np.asarray(q, np.float64).copy()
+                tm = min(tm, q.shape[0])
+            temp_max.append(tm)
+            q_fwd.append(q)
+
+        fwd = self.cotr_corr_multiscale_multipair(
+            pairs, zoom_ins=zoom_ins, converge_iters=converge_iters,
+            max_corrs=temp_max, queries_list=q_fwd, return_idx=True,
+            pair_seeds=rngs)
+        for i, (corr_f, _) in enumerate(fwd):
+            assert corr_f.shape[0] > 0, \
+                f"forward pass produced no correspondences (pair {i})"
+
+        bwd = self.cotr_corr_multiscale_multipair(
+            [(b, a) for a, b in pairs], zoom_ins=zoom_ins,
+            converge_iters=converge_iters,
+            max_corrs=[corr_f.shape[0] for corr_f, _ in fwd],
+            queries_list=[corr_f[:, 2:].copy() for corr_f, _ in fwd],
+            return_idx=True, pair_seeds=rngs)
+
+        results = []
+        for i in range(n):
+            corr_f, idx_f = fwd[i]
+            corr_b, idx_b = bwd[i]
+            assert corr_b.shape[0] > 0, \
+                f"backward pass produced no correspondences (pair {i})"
+            cycle_errors = np.linalg.norm(
+                corr_f[idx_b][:, :2] - corr_b[:, 2:], axis=1)
+            order = np.argsort(cycle_errors)
+            out = [corr_f[idx_b][order][:max_corrs]]
+            if return_idx:
+                out.append(idx_f[idx_b][order][:max_corrs])
+            if return_cycle_error:
+                out.append(cycle_errors[order][:max_corrs])
+            results.append(out[0] if len(out) == 1 else tuple(out))
+        return results

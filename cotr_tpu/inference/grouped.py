@@ -29,10 +29,21 @@ import numpy as np
 
 from cotr_tpu.ops.canvas import normalize_canvas
 from cotr_tpu.ops.sampling import (crop_and_resize_matmul,
+                                   crop_and_resize_window_indexed,
                                    crop_and_resize_windowed)
 from cotr_tpu.utils.constants import MAX_SIZE
 
 SAFE_AREA = 0.5  # sparse_engine.py:297
+
+
+def window_ladder(size: float, image_min_dim: int, step: int = 64) -> int:
+    """Quantize a patch size up to the next ladder value (multiples of
+    ``step``) so per-pair patch sizes that differ slightly do not each
+    compile a fresh indexed-crop specialization. Never exceeds the padded
+    image dimension (images are padded to multiples of 256, a multiple of
+    the ladder step)."""
+    q = -(-max(int(size), 1) // step) * step
+    return min(q, image_min_dim)
 
 
 def patch_box_np(pos: np.ndarray, scale: float, h: int, w: int
@@ -116,6 +127,30 @@ def _form_squads_numpy(loc_from, loc_to, active, cf_x, cf_y, ct_x, ct_y,
     return squad_of, np.asarray(pilots, int)
 
 
+def _squad_tables(loc_from, squad_of, g, x0f_all, y0f_all, sf
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat member table: (G, m_cap) ids + canvas-local queries via one
+    stable argsort scatter — replaces a G x T membership scan and a
+    per-squad python loop (the round-1 "other host" cost at 10k tasks).
+
+    Returns (ids_full (G, m_cap) with -1 padding, q_full (G, m_cap, 2),
+    counts (G,))."""
+    midx = np.where(squad_of >= 0)[0]
+    sq = squad_of[midx]
+    o = np.argsort(sq, kind="stable")
+    midx, sq = midx[o], sq[o]
+    counts = np.bincount(sq, minlength=g)
+    starts0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(midx)) - starts0[sq]
+    m_cap = max(int(counts.max()), 1)
+    ids_full = np.full((g, m_cap), -1, int)
+    ids_full[sq, pos] = midx
+    q_full = np.zeros((g, m_cap, 2), np.float32)
+    q_full[sq, pos, 0] = (loc_from[midx, 0] - x0f_all[sq]) / (2 * sf)
+    q_full[sq, pos, 1] = (loc_from[midx, 1] - y0f_all[sq]) / sf
+    return ids_full, q_full, counts
+
+
 class GroupedStepper:
     """Compiled device step: (G pilot boxes, (G, M) queries) -> predictions.
 
@@ -190,6 +225,56 @@ class GroupedStepper:
             self._sized_steps[key] = self._make_step(sf, st)
         return self._sized_steps[key]
 
+    def _make_step_indexed(self, window_f: int, window_t: int):
+        """Multi-pair step: image STACKS (P, H, W, 3) + per-squad pair index;
+        crops slice a static window from each squad's own pair, so squads
+        from different image pairs share one canvas-encode dispatch."""
+        model = self.runner.model
+        crop_dtype = self._crop_dtype
+
+        def step(params, imgs_a, imgs_b, idx, boxes_from, boxes_to, queries):
+            crops_a = crop_and_resize_window_indexed(
+                imgs_a, boxes_from, idx, MAX_SIZE, window_f,
+                compute_dtype=crop_dtype)
+            crops_b = crop_and_resize_window_indexed(
+                imgs_b, boxes_to, idx, MAX_SIZE, window_t,
+                compute_dtype=crop_dtype)
+            canvas = normalize_canvas(
+                jnp.concatenate([crops_a, crops_b], axis=2))
+            memory = model.apply(params, canvas, method="encode")
+            return model.apply(params, memory, queries, method="decode")
+
+        if self.mesh is None:
+            return jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        gsh = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(step,
+                       in_shardings=(None, repl, repl, gsh, gsh, gsh, gsh),
+                       out_shardings=gsh)
+
+    def dispatch_indexed(self, imgs_a, imgs_b, idx, boxes_from, boxes_to,
+                         queries):
+        """Async multi-pair dispatch; window sizes quantized to the ladder
+        so varied per-pair patch sizes reuse compilations."""
+        boxes_from = np.asarray(boxes_from, np.float32)
+        boxes_to = np.asarray(boxes_to, np.float32)
+        min_a = min(int(imgs_a.shape[1]), int(imgs_a.shape[2]))
+        min_b = min(int(imgs_b.shape[1]), int(imgs_b.shape[2]))
+        wf = window_ladder(
+            float(boxes_from[:, 2].max()) if len(boxes_from) else 1.0, min_a)
+        wt = window_ladder(
+            float(boxes_to[:, 2].max()) if len(boxes_to) else 1.0, min_b)
+        key = ("indexed", wf, wt)
+        if key not in self._sized_steps:
+            self._sized_steps[key] = self._make_step_indexed(wf, wt)
+        return self._sized_steps[key](
+            self.runner.params, imgs_a, imgs_b,
+            jnp.asarray(np.asarray(idx, np.int32)),
+            jnp.asarray(boxes_from), jnp.asarray(boxes_to),
+            jnp.asarray(queries, jnp.float32))
+
     def __call__(self, img_a, img_b, boxes_from, boxes_to, queries):
         return np.asarray(self.dispatch(img_a, img_b, boxes_from, boxes_to,
                                         queries))
@@ -227,23 +312,9 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
         return 0
     x0f_all, y0f_all, sf = patch_box_np(loc_from[pilots], scale_f, h_a, w_a)
     x0t_all, y0t_all, st = patch_box_np(loc_to[pilots], scale_t, h_b, w_b)
-
-    # flat member table: (G, m_cap) ids + canvas-local queries via one
-    # stable argsort scatter — replaces a G x T membership scan and a
-    # per-squad python loop (the round-1 "other host" cost at 10k tasks)
-    midx = np.where(squad_of >= 0)[0]
-    sq = squad_of[midx]
-    o = np.argsort(sq, kind="stable")
-    midx, sq = midx[o], sq[o]
-    counts = np.bincount(sq, minlength=g)
-    starts0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos = np.arange(len(midx)) - starts0[sq]
-    m_cap = max(int(counts.max()), 1)
-    ids_full = np.full((g, m_cap), -1, int)
-    ids_full[sq, pos] = midx
-    q_full = np.zeros((g, m_cap, 2), np.float32)
-    q_full[sq, pos, 0] = (loc_from[midx, 0] - x0f_all[sq]) / (2 * sf)
-    q_full[sq, pos, 1] = (loc_from[midx, 1] - y0f_all[sq]) / sf
+    ids_full, q_full, counts = _squad_tables(loc_from, squad_of, g,
+                                             x0f_all, y0f_all, sf)
+    m_cap = ids_full.shape[1]
 
     # dispatch every chunk first (device queue), materialize afterwards:
     # squad/query building for chunk k+1 overlaps device compute of chunk k
@@ -367,3 +438,183 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
         history.append(loc_to.copy())
 
     return np.stack(history, axis=0)
+
+
+def refine_grouped_pairs(stepper: GroupedStepper, imgs_a_dev, imgs_b_dev,
+                         pairs: Sequence[dict], zoom_ins: Sequence[float],
+                         converge_iters: int = 1, max_load: int = 256,
+                         group_bucket: int = 8, member_bucket: int = 64,
+                         group_cap: int = 128, safe_area: float = SAFE_AREA
+                         ) -> list:
+    """Zoom-major grouped refinement over MANY image pairs at once.
+
+    The reference engine refines one image pair per call
+    (sparse_engine.py:371-427) and its evaluation loops pairs serially;
+    here every pair's squads at the same zoom level share device dispatches
+    (per-squad pair indices gather the right images), so small per-pair
+    workloads — e.g. a MegaDepth val sweep of modest query grids — fill the
+    canvas-encode batch instead of paying the per-dispatch floor per pair.
+
+    ``pairs``: one dict per pair with keys
+      hw_a, hw_b   — true (h, w) extents inside the padded stacks;
+      s_from, s_to — relative base scales (relative_scales);
+      loc_from     — (T_p, 2) fixed query positions in image a;
+      loc_to       — (T_p, 2) initial target estimates in image b;
+      rng          — np.random.RandomState driving THIS pair's squad
+                     formation (per-pair streams keep results identical to
+                     serial single-pair runs with the same seeds).
+    ``imgs_a_dev`` / ``imgs_b_dev``: (P, Hp, Wp, 3) [0,1] float stacks, all
+    pairs padded to one common shape.
+
+    Returns one (len(zoom_ins), T_p, 2) history per pair (refine_grouped
+    semantics: final row converged/loop-averaged).
+    """
+    n_pairs = len(pairs)
+    n_levels = len(zoom_ins)
+    locs = [np.asarray(p["loc_to"], np.float64).copy() for p in pairs]
+    loc_froms = [np.asarray(p["loc_from"], np.float64) for p in pairs]
+    histories: list = [[] for _ in range(n_pairs)]
+
+    for zi, zoom in enumerate(zoom_ins):
+        is_final = zi == n_levels - 1
+        iters = converge_iters if is_final else 1
+        actives = [np.ones(len(lf), bool) for lf in loc_froms]
+        zoom_hists = [np.zeros((iters, len(lf), 2)) for lf in loc_froms]
+
+        for it in range(iters):
+            if not any(a.any() for a in actives):
+                break
+            # ---- per-pair squad formation, concatenated dispatch tables
+            per_pair = []
+            m_cap = 1
+            for pi, p in enumerate(pairs):
+                active = actives[pi]
+                if not active.any():
+                    continue
+                h_a, w_a = p["hw_a"]
+                h_b, w_b = p["hw_b"]
+                scale_f = p["s_from"] * zoom
+                scale_t = p["s_to"] * zoom
+                squad_of, pilots = form_squads(
+                    loc_froms[pi], locs[pi], active, scale_f, scale_t,
+                    (h_a, w_a), (h_b, w_b), max_load, p["rng"],
+                    safe_area=safe_area)
+                g = len(pilots)
+                if g == 0:
+                    continue
+                x0f, y0f, sf = patch_box_np(loc_froms[pi][pilots], scale_f,
+                                            h_a, w_a)
+                x0t, y0t, st = patch_box_np(locs[pi][pilots], scale_t,
+                                            h_b, w_b)
+                ids_full, q_full, counts = _squad_tables(
+                    loc_froms[pi], squad_of, g, x0f, y0f, sf)
+                m_cap = max(m_cap, ids_full.shape[1])
+                boxes_f = np.stack([x0f, y0f, np.full(g, sf),
+                                    np.full(g, sf)], axis=1)
+                boxes_t = np.stack([x0t, y0t, np.full(g, st),
+                                    np.full(g, st)], axis=1)
+                per_pair.append((pi, boxes_f, boxes_t, ids_full, q_full,
+                                 counts, st))
+            if not per_pair:
+                for pi in range(n_pairs):
+                    zoom_hists[pi][it] = locs[pi]
+                continue
+
+            g_tot = sum(len(e[1]) for e in per_pair)
+            boxes_f = np.zeros((g_tot, 4), np.float32)
+            boxes_t = np.zeros((g_tot, 4), np.float32)
+            idx = np.zeros(g_tot, np.int32)
+            ids_all = np.full((g_tot, m_cap), -1, int)
+            q_all = np.zeros((g_tot, m_cap, 2), np.float32)
+            counts_all = np.zeros(g_tot, int)
+            st_rows = np.zeros(g_tot)
+            pair_rows = np.zeros(g_tot, int)
+            at = 0
+            for pi, bf, bt, ids_full, q_full, counts, st in per_pair:
+                g = len(bf)
+                boxes_f[at:at + g] = bf
+                boxes_t[at:at + g] = bt
+                idx[at:at + g] = pi
+                ids_all[at:at + g, :ids_full.shape[1]] = ids_full
+                q_all[at:at + g, :q_full.shape[1]] = q_full
+                counts_all[at:at + g] = counts
+                st_rows[at:at + g] = st
+                pair_rows[at:at + g] = pi
+                at += g
+
+            # ---- chunked async dispatch (same bucketing discipline as
+            # _grouped_zoom_step: two sizes per axis bound compilations)
+            inflight = []
+            for start in range(0, g_tot, group_cap):
+                end = min(start + group_cap, g_tot)
+                gc = end - start
+                m_max = max(int(counts_all[start:end].max()), 1)
+                m_pad = member_bucket if m_max <= member_bucket \
+                    else max(max_load + 1, member_bucket)
+                g_pad = group_bucket if gc <= group_bucket else group_cap
+
+                queries = np.zeros((g_pad, m_pad, 2), np.float32)
+                member_ids = np.full((g_pad, m_pad), -1, int)
+                mc = min(m_cap, m_pad)
+                queries[:gc, :mc] = q_all[start:end, :mc]
+                member_ids[:gc, :mc] = ids_all[start:end, :mc]
+                bf = np.zeros((g_pad, 4), np.float32)
+                bt = np.zeros((g_pad, 4), np.float32)
+                ix = np.zeros(g_pad, np.int32)
+                bf[:gc] = boxes_f[start:end]
+                bt[:gc] = boxes_t[start:end]
+                ix[:gc] = idx[start:end]
+                # padding boxes reuse the chunk's max patch size at (0,0) of
+                # pair 0 so the ladder window covers them; results ignored
+                bf[gc:, 2:] = boxes_f[start:end, 2].max() if gc else 1.0
+                bt[gc:, 2:] = boxes_t[start:end, 2].max() if gc else 1.0
+
+                preds_dev = stepper.dispatch_indexed(imgs_a_dev, imgs_b_dev,
+                                                     ix, bf, bt, queries)
+                x0t_r = np.zeros(g_pad)
+                y0t_r = np.zeros(g_pad)
+                st_r = np.ones(g_pad)
+                pr = np.full(g_pad, -1, int)
+                x0t_r[:gc] = boxes_t[start:end, 0]
+                y0t_r[:gc] = boxes_t[start:end, 1]
+                st_r[:gc] = st_rows[start:end]
+                pr[:gc] = pair_rows[start:end]
+                inflight.append((preds_dev, member_ids, x0t_r, y0t_r, st_r,
+                                 pr))
+
+            for preds_dev, member_ids, x0t_r, y0t_r, st_r, pr in inflight:
+                preds = np.asarray(preds_dev)
+                new_x = (preds[..., 0] - 0.5) * 2 * st_r[:, None] \
+                    + x0t_r[:, None]
+                new_y = preds[..., 1] * st_r[:, None] + y0t_r[:, None]
+                for pi in np.unique(pr):
+                    if pi < 0:
+                        continue
+                    rows = pr == pi
+                    sel = member_ids[rows] >= 0
+                    locs[pi][member_ids[rows][sel], 0] = new_x[rows][sel]
+                    locs[pi][member_ids[rows][sel], 1] = new_y[rows][sel]
+
+            # ---- per-pair final-zoom convergence (refine_grouped rules)
+            for pi in range(n_pairs):
+                active = actives[pi]
+                if not is_final:
+                    continue
+                loc_to = locs[pi]
+                zoom_hist = zoom_hists[pi]
+                eq = np.all(zoom_hist[:it] == loc_to[None], axis=-1) \
+                    if it else np.zeros((0, len(loc_to)), bool)
+                has_loop = eq.any(axis=0) & active
+                zoom_hist[it] = loc_to
+                for ti in np.where(has_loop)[0]:
+                    j0 = int(eq[:, ti].argmax())
+                    loc_to[ti] = zoom_hist[j0:it, ti].mean(axis=0)
+                freeze = has_loop | (active & (it == iters - 1))
+                actives[pi] = active & ~freeze
+            if not is_final:
+                break
+
+        for pi in range(n_pairs):
+            histories[pi].append(locs[pi].copy())
+
+    return [np.stack(h, axis=0) for h in histories]

@@ -184,6 +184,55 @@ def crop_and_resize_matmul(image: jnp.ndarray, boxes: jnp.ndarray,
     return out.astype(jnp.float32)
 
 
+def crop_and_resize_window_indexed(images: jnp.ndarray, boxes: jnp.ndarray,
+                                   idx: jnp.ndarray, out_size: int,
+                                   window: int,
+                                   compute_dtype=jnp.float32) -> jnp.ndarray:
+    """PIL-parity crop-and-resize from a STACK of images with per-box image
+    indices and per-box integral sizes bounded by a static ``window``.
+
+    The multi-pair grouped engine's crop primitive: squads from DIFFERENT
+    image pairs share one dispatch (the reference engine handles exactly one
+    pair per call, sparse_engine.py:197; batching pairs is the throughput
+    lever its serial eval loop leaves unused). Each box slices a static
+    (window, window) region from its own image — window is quantized to a
+    small ladder by the caller so patch sizes that differ across pairs do
+    not multiply compilations — and is resampled by per-box triangle-filter
+    matrices clipped to the true box, exactly like
+    :func:`crop_and_resize_matmul` (zero-weight window columns contribute
+    exact zeros, so the wider window changes nothing).
+
+    images: (P, H, W, C); boxes: (G, 4) integer-valued (x0, y0, w, h) with
+    w, h <= window <= min(H, W); idx: (G,) int32 image index per box.
+    Returns (G, out_size, out_size, C) float32.
+    """
+    images = jnp.asarray(images)
+    h, w_img, c = images.shape[1], images.shape[2], images.shape[3]
+    img = images.astype(compute_dtype)
+    bx, by = boxes[:, 0], boxes[:, 1]
+    # window origin: clamped so the static slice stays inside the image;
+    # the true box then sits at offset (bx - wx0, by - wy0) in the window
+    wx0 = jnp.clip(bx, 0.0, float(w_img - window))
+    wy0 = jnp.clip(by, 0.0, float(h - window))
+
+    def one(i, x0, y0):
+        return jax.lax.dynamic_slice(
+            img, (i.astype(jnp.int32), y0.astype(jnp.int32),
+                  x0.astype(jnp.int32), 0),
+            (1, window, window, c))[0]
+
+    wins = jax.vmap(one)(jnp.asarray(idx), wx0, wy0)  # (G, S, S, C)
+    wy = _pil_axis_weights(by - wy0, boxes[:, 3], window, out_size)
+    wx = _pil_axis_weights(bx - wx0, boxes[:, 2], window, out_size)
+    wy = wy.astype(compute_dtype)
+    wx = wx.astype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else None)
+    tmp = jnp.einsum("giy,gyxc->gixc", wy, wins, precision=prec)
+    out = jnp.einsum("gjx,gixc->gijc", wx, tmp, precision=prec)
+    return out.astype(jnp.float32)
+
+
 def crop_and_resize_windowed(image: jnp.ndarray, boxes: jnp.ndarray,
                              out_size: int, patch: int,
                              compute_dtype=jnp.float32) -> jnp.ndarray:

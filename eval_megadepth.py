@@ -23,8 +23,9 @@ import time
 import numpy as np
 
 
-def evaluate_pair(engine, query_cap, nn_cap, grid: int, zoom_ins,
-                  max_corrs: int):
+def prepare_pair(query_cap, nn_cap, grid: int):
+    """Images, dense query grid, and GT flow for one val pair (or None when
+    too little valid ground truth)."""
     from cotr_tpu.geometry.projector import optical_flow_from_a_to_b
 
     img_a = query_cap.image
@@ -44,16 +45,35 @@ def evaluate_pair(engine, query_cap, nn_cap, grid: int, zoom_ins,
     valid = (np.abs(gt).sum(axis=1) > 0)
     if valid.sum() < 10:
         return None
+    return img_a, img_b, queries, gt, valid
 
-    corrs, idx = engine.cotr_corr_multiscale(
-        img_a, img_b, zoom_ins=zoom_ins, converge_iters=1,
-        max_corrs=len(queries), queries_a=queries, force=True,
-        return_idx=True)
+
+def _epe_from_corrs(queries, gt, valid, corrs, idx):
     pred = np.full((len(queries), 2), np.nan)
     pred[idx] = corrs[:, 2:]
     ok = valid & np.isfinite(pred).all(axis=1)
-    epe = np.linalg.norm(pred[ok] - gt[ok], axis=1)
-    return epe
+    return np.linalg.norm(pred[ok] - gt[ok], axis=1)
+
+
+def evaluate_batch(engine, prepped, zoom_ins):
+    """One multi-pair engine call over the prepared pairs (BASELINE config
+    "batched multi-pair dense grids": pairs share device dispatches instead
+    of the reference's serial per-pair loop). Falls back to serial calls for
+    engines without the multipair API."""
+    if hasattr(engine, "cotr_corr_multiscale_multipair"):
+        results = engine.cotr_corr_multiscale_multipair(
+            [(p[0], p[1]) for p in prepped], zoom_ins=zoom_ins,
+            converge_iters=1,
+            max_corrs=max(len(p[2]) for p in prepped),
+            queries_list=[p[2] for p in prepped], force=True,
+            return_idx=True)
+    else:
+        results = [engine.cotr_corr_multiscale(
+            p[0], p[1], zoom_ins=zoom_ins, converge_iters=1,
+            max_corrs=len(p[2]), queries_a=p[2], force=True,
+            return_idx=True) for p in prepped]
+    return [_epe_from_corrs(p[2], p[3], p[4], corrs, idx)
+            for p, (corrs, idx) in zip(prepped, results)]
 
 
 def main():
@@ -67,6 +87,9 @@ def main():
     ap.add_argument("--zoom_depth", type=int, default=3)
     ap.add_argument("--faster_infer", default="yes")
     ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--pair_batch", type=int, default=8,
+                    help="image pairs refined per multi-pair engine call "
+                         "(pairs share device dispatches)")
     ap.add_argument("--max_corrs", type=int, default=100000)
     ap.add_argument("--out", default="eval_megadepth.json")
     args = ap.parse_args()
@@ -95,19 +118,26 @@ def main():
     ds = MegadepthDataset(data_cfg, "val")
     engine = build_engine(args, mode="stretching")
 
-    zooms = list(np.linspace(0.5, 0.0625, args.zoom_depth + 1))[:args.zoom_depth]
+    # depth-N ladder always ends at the finest 0.0625 zoom (the demos'
+    # linspace(0.5, 0.0625, 4) at depth 4, bench.py's [0.5, 0.2, 0.0625] at
+    # depth 3); the earlier [:depth] truncation silently dropped the finest
+    # level and capped accuracy at the coarsest final crop
+    zooms = list(np.linspace(0.5, 0.0625, args.zoom_depth))
     all_epe = []
     t0 = time.time()
     n_pairs = min(args.pairs, ds.num_queries)
+    prepped = []
     for i in range(n_pairs):
         query_cap, nn_caps = ds.get_query_with_knn(i)
-        epe = evaluate_pair(engine, query_cap, nn_caps[0], args.grid, zooms,
-                            args.max_corrs)
-        if epe is None:
-            continue
-        all_epe.append(epe)
-        print(f"pair {i}: {len(epe)} valid, "
-              f"EPE mean {epe.mean():.2f} median {np.median(epe):.2f}")
+        p = prepare_pair(query_cap, nn_caps[0], args.grid)
+        if p is not None:
+            prepped.append(p)
+    for start in range(0, len(prepped), args.pair_batch):
+        chunk = prepped[start:start + args.pair_batch]
+        for j, epe in enumerate(evaluate_batch(engine, chunk, zooms)):
+            all_epe.append(epe)
+            print(f"pair {start + j}: {len(epe)} valid, "
+                  f"EPE mean {epe.mean():.2f} median {np.median(epe):.2f}")
     dt = time.time() - t0
 
     epe = np.concatenate(all_epe) if all_epe else np.array([np.nan])

@@ -229,7 +229,7 @@ def test_eval_megadepth_pair_machinery(synthetic_scene):
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from eval_megadepth import evaluate_pair
+    from eval_megadepth import evaluate_batch, prepare_pair
     from tests.test_engine_modes import IdentityRunner
     from cotr_tpu.data import DataConfig, MegadepthDataset
     from cotr_tpu.inference.engine import SparseEngine
@@ -244,7 +244,8 @@ def test_eval_megadepth_pair_machinery(synthetic_scene):
     assert ds.num_queries >= 1
     query_cap, nn_caps = ds.get_query_with_knn(0)
     engine = SparseEngine(IdentityRunner(), mode="stretching", task_bucket=8)
-    epe = evaluate_pair(engine, query_cap, nn_caps[0], grid=4,
-                        zoom_ins=[0.5], max_corrs=16)
-    assert epe is not None and len(epe) > 0
+    p = prepare_pair(query_cap, nn_caps[0], grid=4)
+    assert p is not None
+    (epe,) = evaluate_batch(engine, [p], zoom_ins=[0.5])
+    assert len(epe) > 0
     assert np.isfinite(epe).all()

@@ -126,6 +126,36 @@ def test_crop_and_resize_windowed_matches_matmul(patch, out):
     assert np.abs(full - windowed).max() < 1e-4, np.abs(full - windowed).max()
 
 
+@pytest.mark.parametrize("window", [96, 160, 256])
+def test_crop_and_resize_window_indexed_matches_matmul(window):
+    """The multi-pair primitive (per-box image index, per-box sizes bounded
+    by a static window) must match per-image crop_and_resize_matmul exactly:
+    the wider window only adds zero-weight columns."""
+    import jax.numpy as jnp
+
+    from cotr_tpu.ops import (crop_and_resize_matmul,
+                              crop_and_resize_window_indexed)
+
+    rng = np.random.RandomState(13)
+    imgs = rng.uniform(0, 255, (3, 320, 288, 3)).astype(np.float32)
+    h, w = imgs.shape[1:3]
+    # mixed sizes <= window, mixed image indices, border-clamped origins
+    sizes = np.array([window, window - 16, 64, window // 2, 80], np.float32)
+    xs = np.array([0, w - (window - 16), 17, 40, w - 80], np.float32)
+    ys = np.array([h - window, 0, 33, h - window // 2, 5], np.float32)
+    boxes = np.stack([xs, ys, sizes, sizes], axis=1)
+    idx = np.array([0, 2, 1, 1, 0], np.int32)
+    out = 128
+
+    got = np.asarray(crop_and_resize_window_indexed(
+        jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(idx), out, window))
+    for k in range(len(boxes)):
+        ref = np.asarray(crop_and_resize_matmul(
+            jnp.asarray(imgs[idx[k]]), jnp.asarray(boxes[k:k + 1]), out))[0]
+        assert np.abs(got[k] - ref).max() < 1e-4, \
+            (k, np.abs(got[k] - ref).max())
+
+
 def test_canvas_normalization_matches_torchvision_math():
     rng = np.random.RandomState(6)
     img = rng.randint(0, 255, (8, 16, 3), dtype=np.uint8)
