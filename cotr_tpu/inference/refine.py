@@ -183,7 +183,7 @@ class BatchRefiner:
     """
 
     def __init__(self, runner, bucket: int = 256,
-                 crop_dtype=jnp.float32):
+                 crop_dtype=jnp.float32, mesh=None):
         self.runner = runner
         self.bucket = bucket
 
@@ -197,7 +197,35 @@ class BatchRefiner:
                                 loc_from, loc_to0, s_from, s_to, zooms,
                                 final_start, crop_dtype=crop_dtype)
 
-        self._refine = jax.jit(refine, static_argnames=("final_start",))
+        if mesh is None:
+            self._refine = jax.jit(refine, static_argnames=("final_start",))
+        else:
+            # pjit rejects kwargs when in_shardings is given, so final_start
+            # becomes positional (static_argnums) in the mesh path
+            # multi-chip scan path (SURVEY §2.11 query-axis plan): the task
+            # axis is embarrassingly parallel — shard it over the mesh's
+            # "data" axis, replicate images/params/scalars. Task counts are
+            # already padded to task_bucket multiples by the engine, so the
+            # axis divides any power-of-two mesh.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tsh = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            hist_sh = NamedSharding(mesh, P(None, "data"))
+            jitted = jax.jit(
+                refine, static_argnums=(10,),
+                in_shardings=(None, repl, repl, repl, repl, tsh, tsh,
+                              repl, repl, repl),
+                out_shardings=(hist_sh,
+                               RefineState(loc_to=tsh, frozen=tsh,
+                                           hist=hist_sh)))
+
+            def call(params, img_a, img_b, hw_a, hw_b, loc_from, loc_to0,
+                     s_from, s_to, zooms, final_start):
+                return jitted(params, img_a, img_b, hw_a, hw_b, loc_from,
+                              loc_to0, s_from, s_to, zooms, final_start)
+
+            self._refine = call
 
     def _pad_to_bucket(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape[:2]

@@ -32,12 +32,22 @@ def main():
     print(f"keypoints: {len(kpts_a)} / {len(kpts_b)}")
 
     t0 = time.time()
-    corr_ab, idx_ab = engine.cotr_corr_multiscale(
-        img_a, img_b, zoom_ins=list(np.linspace(0.5, 0.0625, 4)),
-        max_corrs=len(kpts_a), queries_a=kpts_a, force=True, return_idx=True)
-    corr_ba, idx_ba = engine.cotr_corr_multiscale(
-        img_b, img_a, zoom_ins=list(np.linspace(0.5, 0.0625, 4)),
-        max_corrs=len(kpts_b), queries_a=kpts_b, force=True, return_idx=True)
+    zooms = list(np.linspace(0.5, 0.0625, 4))
+    if hasattr(engine, "cotr_corr_multiscale_multipair"):
+        # both directions are independent fixed-keypoint jobs: one multipair
+        # call shares every dense-pass and squad dispatch between them
+        (corr_ab, idx_ab), (corr_ba, idx_ba) = \
+            engine.cotr_corr_multiscale_multipair(
+                [(img_a, img_b), (img_b, img_a)], zoom_ins=zooms,
+                max_corrs=[len(kpts_a), len(kpts_b)],
+                queries_list=[kpts_a, kpts_b], force=True, return_idx=True)
+    else:
+        corr_ab, idx_ab = engine.cotr_corr_multiscale(
+            img_a, img_b, zoom_ins=zooms, max_corrs=len(kpts_a),
+            queries_a=kpts_a, force=True, return_idx=True)
+        corr_ba, idx_ba = engine.cotr_corr_multiscale(
+            img_b, img_a, zoom_ins=zooms, max_corrs=len(kpts_b),
+            queries_a=kpts_b, force=True, return_idx=True)
     print(f"correspondence passes: {time.time() - t0:.1f}s "
           f"({engine.total_tasks} task-steps)")
 

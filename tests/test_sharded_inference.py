@@ -68,3 +68,36 @@ def test_sharded_faster_engine_end_to_end_matches_single_device():
 
     assert corrs_single.shape == corrs_sharded.shape == (12, 4)
     np.testing.assert_allclose(corrs_sharded, corrs_single, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_sharded_scan_engine_matches_single_device():
+    """Default SparseEngine (scan path) with a mesh — task axis sharded
+    over 8 devices — must reproduce the single-device engine
+    (VERDICT.md round-2 item 6: the scan path had no mesh support)."""
+    from cotr_tpu.inference.engine import SparseEngine
+
+    assert len(jax.devices()) >= 8
+    cfg = COTRConfig(enc_layers=1, dec_layers=1, dropout=0.0)
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 512, 3)),
+                        jnp.zeros((1, 2, 2)))
+
+    rng = np.random.RandomState(2)
+    img_a = rng.randint(0, 255, (256, 256, 3), np.uint8)
+    img_b = rng.randint(0, 255, (256, 256, 3), np.uint8)
+    queries = rng.uniform(30, 226, (12, 2)).astype(np.float64)
+    kw = dict(zoom_ins=[0.5, 0.25], converge_iters=2, max_corrs=12,
+              queries_a=queries, force=True)
+
+    single = SparseEngine(ModelRunner(model, params), mode="tile",
+                          task_bucket=8)
+    corrs_single = single.cotr_corr_multiscale(img_a, img_b, **kw)
+
+    mesh = make_mesh(8)
+    sharded = SparseEngine(ModelRunner(model, params), mode="tile",
+                           task_bucket=8, mesh=mesh)
+    corrs_sharded = sharded.cotr_corr_multiscale(img_a, img_b, **kw)
+
+    assert corrs_single.shape == corrs_sharded.shape == (12, 4)
+    np.testing.assert_allclose(corrs_sharded, corrs_single, atol=1e-3)

@@ -51,6 +51,10 @@ def main():
                          "curriculum for short fine-tunes)")
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--valid_iter", type=int, default=0,
+                    help="validation/checkpoint cadence (0 = steps//10); "
+                         "keep small on flaky attachments so a crash loses "
+                         "little progress")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +76,8 @@ def main():
     train_cfg = TrainConfig(learning_rate=args.learning_rate,
                             lr_backbone=args.lr_backbone,
                             batch_size=args.batch_size, max_iter=args.steps,
-                            valid_iter=max(args.steps // 10, 50),
+                            valid_iter=(args.valid_iter
+                                        or max(args.steps // 10, 50)),
                             num_kp=args.num_kp, out_dir=args.out,
                             suffix="synthetic")
 
