@@ -181,6 +181,47 @@ def main():
         dev_qps = iters * groups * members / dt
         detail["device_pipeline_q_s"] = round(dev_qps, 1)
 
+    # ---------------------------------------------- multi-pair batched sweep
+    # BASELINE config 5 regime ("batched multi-pair dense grids"): N modest
+    # per-pair jobs. Serially each pair pays the dense pass + underfilled
+    # squad dispatches alone; the multipair engine shares every dispatch.
+    if not args.quick:
+        n_pairs_mp, q_per_pair = 8, 256
+        mp_imgs = [(imr.randint(0, 255, (512, 512, 3), dtype=np.uint8),
+                    imr.randint(0, 255, (512, 512, 3), dtype=np.uint8))
+                   for _ in range(n_pairs_mp)]
+        mp_queries = [imr.uniform(8, 504, (q_per_pair, 2)).astype(np.float64)
+                      for _ in range(n_pairs_mp)]
+        eng_mp = FasterSparseEngine(runner, mode="tile")
+
+        def mp_job():
+            eng_mp.cotr_corr_multiscale_multipair(
+                mp_imgs, zoom_ins=zoom_ins, max_corrs=q_per_pair,
+                queries_list=[q.copy() for q in mp_queries], force=True,
+                pair_seeds=list(range(n_pairs_mp)))
+
+        def mp_serial():
+            for (ia, ib), q in zip(mp_imgs, mp_queries):
+                eng_mp.cotr_corr_multiscale(
+                    ia, ib, zoom_ins=zoom_ins, max_corrs=q_per_pair,
+                    queries_a=q.copy(), force=True)
+
+        mp_job()  # warm
+        t0 = time.time()
+        mp_job()
+        mp_dt = time.time() - t0
+        mp_serial()  # warm
+        t0 = time.time()
+        mp_serial()
+        mp_serial_dt = time.time() - t0
+        detail["multipair_sweep"] = {
+            "pairs": n_pairs_mp, "queries_per_pair": q_per_pair,
+            "zoom_depth": len(zoom_ins),
+            "wall_s": round(mp_dt, 2),
+            "serial_wall_s": round(mp_serial_dt, 2),
+            "speedup_vs_serial": round(mp_serial_dt / mp_dt, 2),
+            "q_s": round(n_pairs_mp * q_per_pair / mp_dt, 1)}
+
     # ------------------------------------------------- guided-matching job
     # the EXACT reference workload (demo_guided_matching.py:36-45 +
     # readme.md:143): the two sample cathedral images (1033x771 / 694x1061,

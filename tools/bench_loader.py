@@ -152,7 +152,13 @@ def main():
 
     loader = PrefetchLoader(ds, args.batch_size, num_workers=args.workers,
                             seed=0)
-    it = iter(loader)
+
+    def cycle():
+        while True:
+            for b in loader:
+                yield b
+
+    it = cycle()
     # warm: scene caches, first IO
     next(it)
     t0 = time.time()
