@@ -10,15 +10,80 @@ One loader for every on-disk layout a user can point an engine at
   ``training.trainer.Trainer.save_checkpoint`` (the ``params`` entry is the
   inner ``params`` collection);
 * raw orbax trees — a ``model.init``-shaped ``{"params": ...}`` pytree
-  saved directly with ``StandardCheckpointer``.
+  saved directly with ``StandardCheckpointer``;
+* ``.npz`` weight files — the repo's committable release format
+  (``save_params_npz``): flat ``a/b/c`` keys, float arrays stored as
+  bfloat16 bit patterns (bit-exact w.r.t. the bf16 compute the model runs
+  in; half the size of fp32, git-friendly single file).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_npz(params, path: str, dtype: str = "bfloat16") -> None:
+    """Write a ``{"params": ...}`` pytree as one compressed ``.npz``.
+
+    Float leaves are stored as bfloat16 bit patterns (uint16 views) when
+    ``dtype='bfloat16'`` — exact for a model whose compute dtype is bf16 —
+    or as float32. Non-float leaves keep their dtype."""
+    import ml_dtypes
+
+    flat = _flatten(params)
+    store = {}
+    bf16_keys = []
+    for k, v in flat.items():
+        if dtype == "bfloat16" and v.dtype in (np.float32, np.float64):
+            store[k] = v.astype(ml_dtypes.bfloat16).view(np.uint16)
+            bf16_keys.append(k)
+        else:
+            store[k] = v
+    store["__bf16_keys__"] = np.asarray(json.dumps(bf16_keys))
+    np.savez_compressed(path, **store)
+
+
+def _load_params_npz(path: str):
+    import ml_dtypes
+
+    data = np.load(path, allow_pickle=False)
+    bf16_keys = set(json.loads(str(data["__bf16_keys__"])))
+    flat = {}
+    for k in data.files:
+        if k == "__bf16_keys__":
+            continue
+        v = data[k]
+        if k in bf16_keys:
+            v = v.view(ml_dtypes.bfloat16).astype(np.float32)
+        flat[k] = v
+    return _unflatten(flat)
 
 
 def load_params(path: str, cfg):
@@ -31,6 +96,9 @@ def load_params(path: str, cfg):
         from cotr_tpu.models.torch_convert import load_torch_checkpoint
 
         params = load_torch_checkpoint(path, cfg)
+    elif path.endswith(".npz"):
+        tree = _load_params_npz(path)
+        params = tree if set(tree) == {"params"} else {"params": tree}
     else:
         import orbax.checkpoint as ocp
 

@@ -85,3 +85,34 @@ def test_split_canvas_no_cross_leak(small_cfg, flax_model_and_params):
     f2 = np.asarray(bb.apply(bb_params, canvas2))
     np.testing.assert_array_equal(f1[:, :, :16], f2[:, :, :16])
     assert np.abs(f1[:, :, 16:] - f2[:, :, 16:]).max() > 1e-3
+
+
+def test_npz_weights_roundtrip(tmp_path):
+    """save_params_npz / load_params: the committable release format must
+    reproduce bf16-cast params bit-exactly and preserve non-float leaves."""
+    import numpy as np
+
+    from cotr_tpu.models.checkpoint_io import (_flatten, load_params,
+                                               save_params_npz)
+
+    rng = np.random.RandomState(0)
+    params = {"params": {
+        "block": {"kernel": rng.randn(16, 8).astype(np.float32) * 3,
+                  "bias": rng.randn(8).astype(np.float32)},
+        "count": np.arange(4, dtype=np.int32)}}
+    path = str(tmp_path / "w.npz")
+    save_params_npz(params, path)
+    back = load_params(path, None)
+
+    import jax
+    import ml_dtypes
+
+    fa = _flatten(params)
+    fb = _flatten(jax.tree_util.tree_map(np.asarray, back))
+    assert set(fa) == set(fb)
+    for k, v in fa.items():
+        if v.dtype == np.float32:
+            exact = v.astype(ml_dtypes.bfloat16).astype(np.float32)
+            np.testing.assert_array_equal(fb[k], exact, err_msg=k)
+        else:
+            np.testing.assert_array_equal(fb[k], v, err_msg=k)
