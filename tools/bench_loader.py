@@ -24,7 +24,8 @@ import numpy as np
 import PIL.Image
 
 
-def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0):
+def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
+                   use_ram: bool = False):
     """N cameras on a jittered grid viewing a textured slanted plane:
     every neighboring pair shares most of its frustum, so kNN sampling and
     reprojection produce dense valid correspondences like MegaDepth pairs."""
@@ -115,6 +116,7 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0):
         test_json=os.path.join(root, "val.json"),
         crop_cam="crop_center_and_resize",
         num_kp=100,
+        use_ram=use_ram,
     )
 
 
@@ -127,6 +129,9 @@ def main():
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--root", default="/tmp/bench_loader_scene")
+    ap.add_argument("--use_ram", action="store_true",
+                    help="preload images/depths to RAM (reference "
+                         "--use_ram; the loader fix for IO-bound sampling)")
     ap.add_argument("--keep", action="store_true",
                     help="reuse/keep the generated scene directory")
     args = ap.parse_args()
@@ -140,12 +145,12 @@ def main():
     t0 = time.time()
     if not os.path.exists(marker):
         cfg = generate_scene(args.root, args.captures, args.height,
-                             args.width)
+                             args.width, use_ram=args.use_ram)
         print(f"scene generated: {args.captures} captures "
               f"{args.height}x{args.width} in {time.time() - t0:.1f}s")
     else:
         cfg = generate_scene(args.root, args.captures, args.height,
-                             args.width)  # idempotent regen of small files
+                             args.width, use_ram=args.use_ram)  # idempotent regen of small files
     t0 = time.time()
     ds = CotrDataset(cfg, "train", seed=0)
     print(f"dataset built: {len(ds)} samples in {time.time() - t0:.1f}s")
@@ -173,6 +178,7 @@ def main():
         "captures": args.captures,
         "image_hw": [args.height, args.width],
         "batch_size": args.batch_size,
+        "use_ram": args.use_ram,
         "batches_timed": n,
         "batches_per_s": round(bps, 3),
         "samples_per_s": round(bps * args.batch_size, 1),
