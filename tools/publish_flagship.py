@@ -1,0 +1,46 @@
+"""Publish a trained checkpoint as the committed flagship weights.
+
+Converts a Trainer/orbax checkpoint into the repo's committable `.npz`
+release format (bf16 bit patterns, `models/checkpoint_io.save_params_npz`)
+at ``checkpoints/flagship.npz`` plus a provenance JSON next to it.
+
+  python tools/publish_flagship.py --ckpt out/synthetic_run/checkpoints/checkpoint \
+      --eval_json /tmp/eval_78k/metrics.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--eval_json", default=None,
+                    help="eval_synthetic_pair metrics to embed as provenance")
+    ap.add_argument("--out", default="checkpoints/flagship.npz")
+    args = ap.parse_args()
+
+    from cotr_tpu.models.checkpoint_io import load_params, save_params_npz
+
+    params = load_params(args.ckpt, None)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params_npz(params, args.out)
+    size_mb = os.path.getsize(args.out) / 1e6
+
+    meta = {"source": os.path.abspath(args.ckpt), "format": "npz-bf16",
+            "size_mb": round(size_mb, 1)}
+    if args.eval_json and os.path.exists(args.eval_json):
+        with open(args.eval_json) as f:
+            meta["eval"] = json.load(f)
+    with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+    print(f"wrote {args.out} ({size_mb:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
