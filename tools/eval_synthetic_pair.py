@@ -32,6 +32,11 @@ def main():
                     help="corner jitter fraction of the warp")
     ap.add_argument("--grid", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", default=None,
+                    help="comma list of warp seeds, e.g. 0,1,2 — metrics are "
+                         "pooled over all seeds' queries (single-seed numbers "
+                         "are optimistic/pessimistic samples: the warp "
+                         "difficulty varies a lot by seed)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max_load", type=int, default=256)
     ap.add_argument("--out", default="out/eval_pair")
@@ -53,54 +58,70 @@ def main():
                                           homography_from_4pts,
                                           warp_perspective)
 
-    rng = np.random.RandomState(args.seed)
     img = np.array(PIL.Image.open(args.image).convert("RGB"))
     h, w = img.shape[:2]
     side = min(args.side, h, w)
     y0, x0 = (h - side) // 2, (w - side) // 2
     img_a = np.ascontiguousarray(img[y0:y0 + side, x0:x0 + side])
 
-    # known perspective warp (same family the synthetic task trains on)
-    s = float(side - 1)
-    corners = np.array([[0.0, 0], [s, 0], [s, s], [0, s]], np.float64)
-    jit = rng.uniform(-args.jitter, args.jitter, (4, 2)) * s
-    h_mat = homography_from_4pts(corners, corners + jit)
-    img_b = np.asarray(warp_perspective(img_a.astype(np.float32), h_mat,
-                                        (side, side))).astype(np.uint8)
-
     cfg = COTRConfig(dtype=args.dtype, use_flash_attention=True)
     model = build_model(cfg)
     params = load_params(args.ckpt, cfg)
     engine = FasterSparseEngine(ModelRunner(model, params), mode="tile",
                                 max_load=args.max_load)
-
-    # GT-covered query grid (stay away from borders so targets stay inside)
-    lin = np.linspace(side * 0.1, side * 0.9, args.grid)
-    gx, gy = np.meshgrid(lin, lin)
-    queries = np.stack([gx.ravel(), gy.ravel()], axis=1)
-    gt = apply_homography(h_mat, queries)
-    ok = ((gt >= 0) & (gt <= side - 1)).all(axis=1)
-    queries, gt = queries[ok], gt[ok]
-
     zoom_ins = list(np.linspace(0.5, 0.0625, 4))
-    corrs = engine.cotr_corr_multiscale(
-        img_a, img_b, zoom_ins=zoom_ins, converge_iters=1,
-        max_corrs=len(queries), queries_a=queries.copy(), force=True)
-    epe = np.linalg.norm(corrs[:, 2:] - gt, axis=1)
 
+    def warp_for_seed(seed):
+        """Known perspective warp (same family the synthetic task trains on)."""
+        rng = np.random.RandomState(seed)
+        s = float(side - 1)
+        corners = np.array([[0.0, 0], [s, 0], [s, s], [0, s]], np.float64)
+        jit = rng.uniform(-args.jitter, args.jitter, (4, 2)) * s
+        h_mat = homography_from_4pts(corners, corners + jit)
+        img_b = np.asarray(warp_perspective(
+            img_a.astype(np.float32), h_mat, (side, side))).astype(np.uint8)
+        return h_mat, img_b
+
+    def eval_seed(seed):
+        h_mat, img_b = warp_for_seed(seed)
+        # GT-covered query grid (away from borders so targets stay inside)
+        lin = np.linspace(side * 0.1, side * 0.9, args.grid)
+        gx, gy = np.meshgrid(lin, lin)
+        queries = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        gt = apply_homography(h_mat, queries)
+        ok = ((gt >= 0) & (gt <= side - 1)).all(axis=1)
+        queries, gt = queries[ok], gt[ok]
+        corrs = engine.cotr_corr_multiscale(
+            img_a, img_b, zoom_ins=zoom_ins, converge_iters=1,
+            max_corrs=len(queries), queries_a=queries.copy(), force=True)
+        return np.linalg.norm(corrs[:, 2:] - gt, axis=1)
+
+    def summarize(epe):
+        return {
+            "epe_mean_px": round(float(epe.mean()), 2),
+            "epe_median_px": round(float(np.median(epe)), 2),
+            "pck@1px": round(float((epe < 1).mean()), 4),
+            "pck@3px": round(float((epe < 3).mean()), 4),
+            "pck@5px": round(float((epe < 5).mean()), 4),
+        }
+
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
+    per_seed = {s: eval_seed(s) for s in seeds}
+    pooled = np.concatenate(list(per_seed.values()))
     stats = {
         "image": os.path.basename(args.image), "side": side,
-        "queries": int(len(queries)), "zoom_depth": len(zoom_ins),
-        "epe_mean_px": round(float(epe.mean()), 2),
-        "epe_median_px": round(float(np.median(epe)), 2),
-        "pck@1px": round(float((epe < 1).mean()), 4),
-        "pck@3px": round(float((epe < 3).mean()), 4),
-        "pck@5px": round(float((epe < 5).mean()), 4),
+        "queries": int(pooled.shape[0]), "zoom_depth": len(zoom_ins),
+        "seeds": seeds,
+        **summarize(pooled),
     }
+    if len(seeds) > 1:
+        stats["per_seed"] = {str(s): summarize(e) for s, e in per_seed.items()}
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "eval_pair.json"), "w") as f:
         json.dump(stats, f, indent=1)
     print(json.dumps(stats))
+    h_mat, img_b = warp_for_seed(seeds[0])
 
     # demo_homography-style artifact: match the 4 corners of a centered
     # painting region and composite the replacement image through them
