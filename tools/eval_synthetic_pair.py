@@ -39,6 +39,10 @@ def main():
                          "difficulty varies a lot by seed)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--max_load", type=int, default=256)
+    ap.add_argument("--zoom_depth", type=int, default=4,
+                    help="levels in the linspace(0.5, 0.0625, N) ladder "
+                         "(4 = the demos' schedule)")
+    ap.add_argument("--converge_iters", type=int, default=1)
     ap.add_argument("--out", default="out/eval_pair")
     args = ap.parse_args()
 
@@ -69,7 +73,7 @@ def main():
     params = load_params(args.ckpt, cfg)
     engine = FasterSparseEngine(ModelRunner(model, params), mode="tile",
                                 max_load=args.max_load)
-    zoom_ins = list(np.linspace(0.5, 0.0625, 4))
+    zoom_ins = list(np.linspace(0.5, 0.0625, args.zoom_depth))
 
     def warp_for_seed(seed):
         """Known perspective warp (same family the synthetic task trains on)."""
@@ -92,7 +96,7 @@ def main():
         ok = ((gt >= 0) & (gt <= side - 1)).all(axis=1)
         queries, gt = queries[ok], gt[ok]
         corrs = engine.cotr_corr_multiscale(
-            img_a, img_b, zoom_ins=zoom_ins, converge_iters=1,
+            img_a, img_b, zoom_ins=zoom_ins, converge_iters=args.converge_iters,
             max_corrs=len(queries), queries_a=queries.copy(), force=True)
         return np.linalg.norm(corrs[:, 2:] - gt, axis=1)
 
@@ -100,6 +104,8 @@ def main():
         return {
             "epe_mean_px": round(float(epe.mean()), 2),
             "epe_median_px": round(float(np.median(epe)), 2),
+            "epe_p90_px": round(float(np.percentile(epe, 90)), 2),
+            "epe_p95_px": round(float(np.percentile(epe, 95)), 2),
             "pck@1px": round(float((epe < 1).mean()), 4),
             "pck@3px": round(float((epe < 3).mean()), 4),
             "pck@5px": round(float((epe < 5).mean()), 4),
@@ -129,7 +135,7 @@ def main():
     region = np.array([[pad, pad], [side - pad, pad],
                        [pad, side - pad], [side - pad, side - pad]])
     corner_corrs = engine.cotr_corr_multiscale(
-        img_a, img_b, zoom_ins=zoom_ins, converge_iters=1, max_corrs=4,
+        img_a, img_b, zoom_ins=zoom_ins, converge_iters=args.converge_iters, max_corrs=4,
         queries_a=region.copy(), force=True)
     rep = np.array(PIL.Image.open(args.rep_img).convert("RGB"))
     rh, rw = rep.shape[:2]
