@@ -528,7 +528,6 @@ def refine_grouped_pairs(stepper: GroupedStepper, imgs_a_dev, imgs_b_dev,
             q_all = np.zeros((g_tot, m_cap, 2), np.float32)
             counts_all = np.zeros(g_tot, int)
             st_rows = np.zeros(g_tot)
-            pair_rows = np.zeros(g_tot, int)
             at = 0
             for pi, bf, bt, ids_full, q_full, counts, st in per_pair:
                 g = len(bf)
@@ -539,7 +538,6 @@ def refine_grouped_pairs(stepper: GroupedStepper, imgs_a_dev, imgs_b_dev,
                 q_all[at:at + g, :q_full.shape[1]] = q_full
                 counts_all[at:at + g] = counts
                 st_rows[at:at + g] = st
-                pair_rows[at:at + g] = pi
                 at += g
 
             # ---- chunked async dispatch (same bucketing discipline as
@@ -578,7 +576,7 @@ def refine_grouped_pairs(stepper: GroupedStepper, imgs_a_dev, imgs_b_dev,
                 x0t_r[:gc] = boxes_t[start:end, 0]
                 y0t_r[:gc] = boxes_t[start:end, 1]
                 st_r[:gc] = st_rows[start:end]
-                pr[:gc] = pair_rows[start:end]
+                pr[:gc] = idx[start:end]
                 inflight.append((preds_dev, member_ids, x0t_r, y0t_r, st_r,
                                  pr))
 

@@ -61,9 +61,16 @@ def save_params_npz(params, path: str, dtype: str = "bfloat16") -> None:
     store = {}
     bf16_keys = []
     for k, v in flat.items():
-        if dtype == "bfloat16" and v.dtype in (np.float32, np.float64):
-            store[k] = v.astype(ml_dtypes.bfloat16).view(np.uint16)
-            bf16_keys.append(k)
+        v = np.asarray(v)
+        if np.issubdtype(v.dtype, np.floating) or v.dtype == ml_dtypes.bfloat16:
+            # every float dtype goes through the bit-pattern path: np.load
+            # returns raw ml_dtypes leaves as void '|V2', which is
+            # unloadable, so they must never be stored directly
+            if dtype == "bfloat16":
+                store[k] = v.astype(ml_dtypes.bfloat16).view(np.uint16)
+                bf16_keys.append(k)
+            else:
+                store[k] = v.astype(np.float32)
         else:
             store[k] = v
     store["__bf16_keys__"] = np.asarray(json.dumps(bf16_keys))
@@ -98,7 +105,10 @@ def load_params(path: str, cfg):
         params = load_torch_checkpoint(path, cfg)
     elif path.endswith(".npz"):
         tree = _load_params_npz(path)
-        params = tree if set(tree) == {"params"} else {"params": tree}
+        # wrap only when the tree is not already a variables dict (a top
+        # level containing 'params' plus e.g. 'batch_stats' must not be
+        # double-wrapped)
+        params = tree if "params" in tree else {"params": tree}
     else:
         import orbax.checkpoint as ocp
 

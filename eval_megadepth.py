@@ -64,7 +64,7 @@ def evaluate_batch(engine, prepped, zoom_ins):
         results = engine.cotr_corr_multiscale_multipair(
             [(p[0], p[1]) for p in prepped], zoom_ins=zoom_ins,
             converge_iters=1,
-            max_corrs=max(len(p[2]) for p in prepped),
+            max_corrs=[len(p[2]) for p in prepped],
             queries_list=[p[2] for p in prepped], force=True,
             return_idx=True)
     else:
@@ -121,8 +121,10 @@ def main():
     # depth-N ladder always ends at the finest 0.0625 zoom (the demos'
     # linspace(0.5, 0.0625, 4) at depth 4, bench.py's [0.5, 0.2, 0.0625] at
     # depth 3); the earlier [:depth] truncation silently dropped the finest
-    # level and capped accuracy at the coarsest final crop
-    zooms = list(np.linspace(0.5, 0.0625, args.zoom_depth))
+    # level and capped accuracy at the coarsest final crop. linspace with
+    # num=1 would return [0.5], so depth 1 is pinned to the finest level.
+    zooms = ([0.0625] if args.zoom_depth == 1
+             else list(np.linspace(0.5, 0.0625, args.zoom_depth)))
     all_epe = []
     t0 = time.time()
     n_pairs = min(args.pairs, ds.num_queries)

@@ -23,13 +23,6 @@ DEMOS = ["demo_single_pair", "demo_face", "demo_homography",
          "demo_guided_matching", "demo_reconstruction", "demo_wbs"]
 
 
-def _present():
-    if not os.path.exists(WEIGHTS):
-        return []
-    return [d for d in DEMOS
-            if os.path.exists(os.path.join(GOLDEN_DIR, f"{d}.png"))]
-
-
 @pytest.mark.slow
 @pytest.mark.parametrize("name", DEMOS)
 def test_demo_matches_golden(name, tmp_path):
@@ -45,6 +38,9 @@ def test_demo_matches_golden(name, tmp_path):
            os.path.join(REPO, "demos", f"{name}.py"),
            "--load_weights_path", WEIGHTS, "--dtype", "bfloat16",
            "--out", str(out)]
+    if name == "demo_reconstruction":
+        # keep the point-cloud side artifact out of the repo tree
+        cmd += ["--out_pcd", str(tmp_path / "reconstruction.npy")]
     subprocess.run(cmd, check=True, cwd=os.path.join(REPO, "demos"),
                    timeout=3600)
     got = np.asarray(PIL.Image.open(out).convert("RGB"), np.float32)

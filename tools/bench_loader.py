@@ -24,11 +24,19 @@ import numpy as np
 import PIL.Image
 
 
+def _scene_config(root, scene_dir, img_dir, depth_dir, use_ram):
+    return _scene_config(root, scene_dir, img_dir, depth_dir, use_ram)
+
+
 def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
-                   use_ram: bool = False):
+                   use_ram: bool = False, skip_files: bool = False):
     """N cameras on a jittered grid viewing a textured slanted plane:
     every neighboring pair shares most of its frustum, so kNN sampling and
-    reprojection produce dense valid correspondences like MegaDepth pairs."""
+    reprojection produce dense valid correspondences like MegaDepth pairs.
+
+    ``skip_files=True`` builds only the DataConfig (paths are deterministic)
+    for a scene already on disk — file generation dominates setup on a
+    1-core host, so ``--keep`` reuse must not rewrite anything."""
     rng = np.random.RandomState(seed)
     scene_dir = os.path.join(root, "0001", "dense", "sparse")
     img_dir = os.path.join(root, "0001", "dense", "imgs")
@@ -36,6 +44,8 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
     dm_dir = os.path.join(root, "0001", "dense", "dist_mat")
     for d in (scene_dir, img_dir, depth_dir, dm_dir):
         os.makedirs(d, exist_ok=True)
+    if skip_files:
+        return _scene_config(root, scene_dir, img_dir, depth_dir, use_ram)
 
     # one shared texture so crops look image-like (smooth upsampled noise)
     tex = np.asarray(PIL.Image.fromarray(
@@ -102,22 +112,7 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
     dist = np.exp(-0.5 * d2).astype(np.float32)
     np.save(os.path.join(dm_dir, "dist_mat.npy"), dist)
 
-    from cotr_tpu.data import DataConfig
-
-    return DataConfig(
-        scenes_name_list=[{
-            "scene_dir": scene_dir,
-            "image_dir": img_dir,
-            "depth_dir": depth_dir,
-        }],
-        valid_list_json=os.path.join(root, "valid_list.json"),
-        train_json=os.path.join(root, "train.json"),
-        val_json=os.path.join(root, "val.json"),
-        test_json=os.path.join(root, "val.json"),
-        crop_cam="crop_center_and_resize",
-        num_kp=100,
-        use_ram=use_ram,
-    )
+    return _scene_config(root, scene_dir, img_dir, depth_dir, use_ram)
 
 
 def main():
@@ -150,7 +145,8 @@ def main():
               f"{args.height}x{args.width} in {time.time() - t0:.1f}s")
     else:
         cfg = generate_scene(args.root, args.captures, args.height,
-                             args.width, use_ram=args.use_ram)  # idempotent regen of small files
+                             args.width, use_ram=args.use_ram,
+                             skip_files=True)
     t0 = time.time()
     ds = CotrDataset(cfg, "train", seed=0)
     print(f"dataset built: {len(ds)} samples in {time.time() - t0:.1f}s")

@@ -73,7 +73,9 @@ def main():
     params = load_params(args.ckpt, cfg)
     engine = FasterSparseEngine(ModelRunner(model, params), mode="tile",
                                 max_load=args.max_load)
-    zoom_ins = list(np.linspace(0.5, 0.0625, args.zoom_depth))
+    # linspace num=1 gives [0.5]; depth 1 pins to the finest level instead
+    zoom_ins = ([0.0625] if args.zoom_depth == 1
+                else list(np.linspace(0.5, 0.0625, args.zoom_depth)))
 
     def warp_for_seed(seed):
         """Known perspective warp (same family the synthetic task trains on)."""
@@ -87,6 +89,10 @@ def main():
         return h_mat, img_b
 
     def eval_seed(seed):
+        # fresh engine RNG per seed: squad-formation permutations otherwise
+        # advance a shared stream, making per_seed rows depend on the
+        # order/composition of --seeds (not reproducible standalone)
+        engine.rng = np.random.RandomState(10_000 + seed)
         h_mat, img_b = warp_for_seed(seed)
         # GT-covered query grid (away from borders so targets stay inside)
         lin = np.linspace(side * 0.1, side * 0.9, args.grid)

@@ -45,6 +45,10 @@ def main():
         cmd = [sys.executable, "-u", os.path.join(REPO, "demos", f"{name}.py"),
                "--load_weights_path", args.weights, "--dtype", args.dtype,
                "--out", out] + extra
+        if name == "demo_reconstruction":
+            # keep the point-cloud side artifact out of the repo tree
+            cmd += ["--out_pcd", os.path.join(args.out_dir,
+                                              "reconstruction.npy")]
         print("::", " ".join(cmd), flush=True)
         subprocess.run(cmd, check=True, cwd=os.path.join(REPO, "demos"))
         assert os.path.exists(out), out
