@@ -116,3 +116,33 @@ def test_npz_weights_roundtrip(tmp_path):
             np.testing.assert_array_equal(fb[k], exact, err_msg=k)
         else:
             np.testing.assert_array_equal(fb[k], v, err_msg=k)
+
+
+def test_npz_weights_half_dtypes_and_collections(tmp_path):
+    """Regression (r3 review): f16/bf16 leaves must go through the
+    bit-pattern path (np.load returns raw ml_dtypes leaves as void '|V2',
+    which is unloadable), and a multi-collection variables dict must not be
+    double-wrapped on load."""
+    import numpy as np
+    import ml_dtypes
+
+    from cotr_tpu.models.checkpoint_io import load_params, save_params_npz
+
+    tree = {"params": {"layer": {
+        "half": np.ones((4,), np.float16) * 1.5,
+        "bf": np.full((3,), 2.25, ml_dtypes.bfloat16),
+        "step": np.asarray(7, np.int32)}}}
+    path = str(tmp_path / "w.npz")
+    save_params_npz(tree, path)
+    back = load_params(path, None)
+    layer = back["params"]["layer"]
+    np.testing.assert_allclose(np.asarray(layer["half"], np.float32), 1.5)
+    np.testing.assert_allclose(np.asarray(layer["bf"], np.float32), 2.25)
+    assert int(np.asarray(layer["step"])) == 7
+
+    multi = {"params": {"a": np.ones((2, 2), np.float32)},
+             "batch_stats": {"m": np.zeros((2,), np.float32)}}
+    path2 = str(tmp_path / "w2.npz")
+    save_params_npz(multi, path2)
+    back2 = load_params(path2, None)
+    assert set(back2) == {"params", "batch_stats"}
