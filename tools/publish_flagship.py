@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--out", default="checkpoints/flagship.npz")
     args = ap.parse_args()
 
+    # format conversion only — no device compute; pin jax to CPU via the
+    # LIVE config (sitecustomize imports jax before env vars can act, and
+    # initializing the axon backend hangs when the tunnel is down)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from cotr_tpu.models.checkpoint_io import load_params, save_params_npz
 
     params = load_params(args.ckpt, None)
