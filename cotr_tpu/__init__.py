@@ -14,6 +14,18 @@ Design stance (TPU-first, not a port):
   * data parallelism via ``jax.sharding`` meshes; no task-object scheduler.
 """
 
+import os as _os
+
+# Platform override that works even when the interpreter's sitecustomize
+# imported jax before env vars could act (it captures JAX_PLATFORMS at
+# startup): COTR_TPU_PLATFORM=cpu pins the LIVE jax config. Useful when the
+# TPU attachment is down — initializing a dead backend hangs silently.
+_plat = _os.environ.get("COTR_TPU_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 from cotr_tpu.config import COTRConfig, InferenceConfig, TrainConfig
 from cotr_tpu.models import COTRModel, build_model
 

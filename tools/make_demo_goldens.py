@@ -43,7 +43,8 @@ def main():
             continue
         out = os.path.join(args.out_dir, f"{name}.png")
         cmd = [sys.executable, "-u", os.path.join(REPO, "demos", f"{name}.py"),
-               "--load_weights_path", args.weights, "--dtype", args.dtype,
+               "--load_weights_path", os.path.abspath(args.weights),
+               "--dtype", args.dtype,
                "--out", out] + extra
         if name == "demo_reconstruction":
             # keep the point-cloud side artifact out of the repo tree
