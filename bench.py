@@ -299,10 +299,13 @@ def main():
             detail["guided"]["centered_head_ceiling_speedup"] = round(
                 79.0 / ceil_dt, 2)
         if args.serial_guided:
-            guided_job_serial()
-            t0 = time.time()
-            guided_job_serial()
-            detail["guided"]["serial_wall_s"] = round(time.time() - t0, 2)
+            guided_job_serial()  # warm
+            serial_dt = float("inf")
+            for _ in range(2):  # best-of-2, same protocol as the batched job
+                t0 = time.time()
+                guided_job_serial()
+                serial_dt = min(serial_dt, time.time() - t0)
+            detail["guided"]["serial_wall_s"] = round(serial_dt, 2)
 
     detail["e2e_sparse_uniform_q_s"] = round(e2e_qps, 1)
     if "guided" in detail:

@@ -204,7 +204,16 @@ def dense_flow_many(runner: ModelRunner, pairs,
         canvas = jnp.concatenate(
             [_canvas_from_pair(p_i.patch, p_j.patch)
              for _, p_i, p_j in chunk], axis=0)
-        outs.append(np.asarray(_dense_pass_device(runner, canvas)))
+        # pad remainder chunks up to canvas_batch (repeat the last canvas):
+        # a data-dependent tail size would compile a fresh encoder + decode
+        # scan per distinct batch shape (same shape-stability rule the
+        # grouped engine's padded buckets follow)
+        pad = canvas_batch - len(chunk)
+        if pad and len(jobs) > canvas_batch:
+            canvas = jnp.concatenate(
+                [canvas, jnp.repeat(canvas[-1:], pad, axis=0)], axis=0)
+        outs.append(np.asarray(_dense_pass_device(runner, canvas))[
+            :len(chunk)])
     corr_all = np.concatenate(outs, axis=0) if outs else \
         np.zeros((0, MAX_SIZE, 2 * MAX_SIZE, 3))
 

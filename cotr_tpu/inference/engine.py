@@ -509,6 +509,8 @@ class FasterSparseEngine(SparseEngine):
         from cotr_tpu.inference.grouped import refine_grouped_pairs
 
         n = len(pairs)
+        if n == 0:
+            return []
         pairs = [(np.asarray(a), np.asarray(b)) for a, b in pairs]
         if queries_list is None:
             queries_list = [None] * n

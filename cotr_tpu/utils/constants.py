@@ -27,3 +27,17 @@ THRESHOLD_SPARSE = 0.02
 THRESHOLD_PIXELS_RELATIVE = 0.02
 BASE_ZOOM = 1.0
 THRESHOLD_AREA = 0.02
+
+
+def zoom_ladder(depth: int):
+    """Depth-N zoom-in schedule ending at the finest 0.0625 level — the
+    demos' ``np.linspace(0.5, 0.0625, 4)`` generalized over depth (reference
+    demo_single_pair.py:28). ``linspace(..., num=1)`` would return [0.5], so
+    depth 1 pins to the finest level instead of silently evaluating coarse.
+    """
+    import numpy as np
+
+    assert depth >= 1, depth
+    if depth == 1:
+        return [0.0625]
+    return [float(z) for z in np.linspace(0.5, 0.0625, depth)]

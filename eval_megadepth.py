@@ -118,28 +118,39 @@ def main():
     ds = MegadepthDataset(data_cfg, "val")
     engine = build_engine(args, mode="stretching")
 
-    # depth-N ladder always ends at the finest 0.0625 zoom (the demos'
-    # linspace(0.5, 0.0625, 4) at depth 4, bench.py's [0.5, 0.2, 0.0625] at
-    # depth 3); the earlier [:depth] truncation silently dropped the finest
-    # level and capped accuracy at the coarsest final crop. linspace with
-    # num=1 would return [0.5], so depth 1 is pinned to the finest level.
-    zooms = ([0.0625] if args.zoom_depth == 1
-             else list(np.linspace(0.5, 0.0625, args.zoom_depth)))
+    # depth-N ladder always ends at the finest 0.0625 zoom; the earlier
+    # [:depth] truncation silently dropped the finest level and capped
+    # accuracy at the coarsest final crop.
+    from cotr_tpu.utils.constants import zoom_ladder
+    zooms = zoom_ladder(args.zoom_depth)
     all_epe = []
     t0 = time.time()
     n_pairs = min(args.pairs, ds.num_queries)
-    prepped = []
+    # prepare only one pair_batch ahead: full-res images + GT flows are big,
+    # and materializing every pair before the first engine call held
+    # O(n_pairs) of them in RAM; pair indices printed are DATASET indices
+    # (skipped pairs keep the numbering aligned across runs)
+    chunk, chunk_idx = [], []
+
+    def flush():
+        for j, epe in enumerate(evaluate_batch(engine, chunk, zooms)):
+            all_epe.append(epe)
+            print(f"pair {chunk_idx[j]}: {len(epe)} valid, "
+                  f"EPE mean {epe.mean():.2f} median {np.median(epe):.2f}")
+        chunk.clear()
+        chunk_idx.clear()
+
     for i in range(n_pairs):
         query_cap, nn_caps = ds.get_query_with_knn(i)
         p = prepare_pair(query_cap, nn_caps[0], args.grid)
-        if p is not None:
-            prepped.append(p)
-    for start in range(0, len(prepped), args.pair_batch):
-        chunk = prepped[start:start + args.pair_batch]
-        for j, epe in enumerate(evaluate_batch(engine, chunk, zooms)):
-            all_epe.append(epe)
-            print(f"pair {start + j}: {len(epe)} valid, "
-                  f"EPE mean {epe.mean():.2f} median {np.median(epe):.2f}")
+        if p is None:
+            continue
+        chunk.append(p)
+        chunk_idx.append(i)
+        if len(chunk) == args.pair_batch:
+            flush()
+    if chunk:
+        flush()
     dt = time.time() - t0
 
     epe = np.concatenate(all_epe) if all_epe else np.array([np.nan])

@@ -9,6 +9,12 @@ import os
 # JAX_PLATFORMS=axon before this file runs — we must update the LIVE
 # config, not just the env var.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocesses spawned by tests (demo CLIs in test_demo_goldens.py) inherit
+# the env but NOT this process's live config — and their own sitecustomize
+# re-registers axon regardless of JAX_PLATFORMS, hanging when the tunnel is
+# down. COTR_TPU_PLATFORM is cotr_tpu/__init__.py's live-config override and
+# is the only knob that works across a fork.
+os.environ["COTR_TPU_PLATFORM"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -249,3 +249,24 @@ def test_eval_megadepth_pair_machinery(synthetic_scene):
     (epe,) = evaluate_batch(engine, [p], zoom_ins=[0.5])
     assert len(epe) > 0
     assert np.isfinite(epe).all()
+
+
+@pytest.mark.slow
+def test_bench_loader_tool_smoke(tmp_path):
+    """tools/bench_loader.py end-to-end on a tiny scene (regression: a
+    refactor once left _scene_config recursing into itself, so the tool
+    could never report throughput)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "bench_loader.py"),
+         "--captures", "9", "--height", "96", "--width", "128",
+         "--batch_size", "2", "--batches", "2", "--workers", "2",
+         "--root", str(tmp_path / "scene")],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["batches_per_s"] > 0
+    assert rec["captures"] == 9

@@ -117,6 +117,31 @@ def test_dense_flow_tile_identity_nonsquare(nonsquare_image):
     assert con_a[sl].max() < 0.05  # confident everywhere inside
 
 
+def test_dense_flow_many_remainder_matches_per_pair(nonsquare_image):
+    """dense_flow_many with a non-divisible job count (remainder chunk gets
+    PADDED to canvas_batch for shape stability) must equal per-pair
+    dense_flow exactly — the padding canvases must never leak into results."""
+    from cotr_tpu.inference.dense import dense_flow_many
+
+    runner = IdentityRunner()
+    rng = np.random.RandomState(11)
+    other = np.clip(nonsquare_image.astype(np.int16) +
+                    rng.randint(-8, 8, nonsquare_image.shape),
+                    0, 255).astype(np.uint8)
+    # 3 non-square pairs -> 3 * (2x2 patch pairs) = 12 jobs; canvas_batch=8
+    # leaves a remainder chunk of 4
+    pairs = [(nonsquare_image, nonsquare_image),
+             (other, other),
+             (nonsquare_image, other)]
+    many = dense_flow_many(runner, pairs, canvas_batch=8)
+    assert len(many) == 3
+    for k, (img_a, img_b) in enumerate(pairs):
+        single = dense_flow(runner, img_a, img_b)
+        for got, want in zip(many[k], single):
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg=f"pair {k}")
+
+
 @pytest.mark.parametrize("engine_cls", [SparseEngine, FasterSparseEngine])
 @pytest.mark.parametrize("mode", ["tile", "stretching"])
 def test_engine_identity_nonsquare(nonsquare_image, engine_cls, mode):

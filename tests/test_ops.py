@@ -193,3 +193,18 @@ def test_grouped_stepper_fractional_boxes_use_generic_path():
     assert stepper._step_for(intact, intact) == ("windowed", 64, 64)
     assert stepper._step_for(frac, intact) == "generic"
     assert stepper._step_for(intact, frac) == "generic"
+
+
+def test_zoom_ladder_schedule():
+    """Depth-N ladder ends at the finest 0.0625 level for every depth (the
+    shared helper behind eval_megadepth/eval_synthetic_pair; regression for
+    the [:depth] truncation that silently dropped the finest zoom)."""
+    from cotr_tpu.utils.constants import zoom_ladder
+
+    assert zoom_ladder(1) == [0.0625]
+    assert zoom_ladder(4) == [float(z) for z in np.linspace(0.5, 0.0625, 4)]
+    for depth in range(1, 7):
+        ladder = zoom_ladder(depth)
+        assert len(ladder) == max(depth, 1)
+        assert ladder[-1] == 0.0625
+        assert all(a > b for a, b in zip(ladder, ladder[1:]))

@@ -25,7 +25,22 @@ import PIL.Image
 
 
 def _scene_config(root, scene_dir, img_dir, depth_dir, use_ram):
-    return _scene_config(root, scene_dir, img_dir, depth_dir, use_ram)
+    from cotr_tpu.data import DataConfig
+
+    return DataConfig(
+        scenes_name_list=[{
+            "scene_dir": scene_dir,
+            "image_dir": img_dir,
+            "depth_dir": depth_dir,
+        }],
+        valid_list_json=os.path.join(root, "valid_list.json"),
+        train_json=os.path.join(root, "train.json"),
+        val_json=os.path.join(root, "val.json"),
+        test_json=os.path.join(root, "val.json"),
+        crop_cam="crop_center_and_resize",
+        num_kp=100,
+        use_ram=use_ram,
+    )
 
 
 def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,

@@ -73,9 +73,8 @@ def main():
     params = load_params(args.ckpt, cfg)
     engine = FasterSparseEngine(ModelRunner(model, params), mode="tile",
                                 max_load=args.max_load)
-    # linspace num=1 gives [0.5]; depth 1 pins to the finest level instead
-    zoom_ins = ([0.0625] if args.zoom_depth == 1
-                else list(np.linspace(0.5, 0.0625, args.zoom_depth)))
+    from cotr_tpu.utils.constants import zoom_ladder
+    zoom_ins = zoom_ladder(args.zoom_depth)
 
     def warp_for_seed(seed):
         """Known perspective warp (same family the synthetic task trains on)."""
@@ -136,7 +135,11 @@ def main():
     h_mat, img_b = warp_for_seed(seeds[0])
 
     # demo_homography-style artifact: match the 4 corners of a centered
-    # painting region and composite the replacement image through them
+    # painting region and composite the replacement image through them.
+    # Reseed like eval_seed does: otherwise the squad permutations consumed
+    # here depend on how many seeds ran above, and the seed-0 artifact would
+    # differ between `--seeds 0` and `--seeds 0,1,2`.
+    engine.rng = np.random.RandomState(20_000 + seeds[0])
     pad = side * 0.25
     region = np.array([[pad, pad], [side - pad, pad],
                        [pad, side - pad], [side - pad, side - pad]])

@@ -13,6 +13,7 @@ import argparse
 import os
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -48,7 +49,7 @@ def main():
                "--out", out] + extra
         if name == "demo_reconstruction":
             # keep the point-cloud side artifact out of the repo tree
-            cmd += ["--out_pcd", os.path.join(args.out_dir,
+            cmd += ["--out_pcd", os.path.join(tempfile.gettempdir(),
                                               "reconstruction.npy")]
         print("::", " ".join(cmd), flush=True)
         subprocess.run(cmd, check=True, cwd=os.path.join(REPO, "demos"))
