@@ -51,6 +51,12 @@ def main():
                          "curriculum for short fine-tunes)")
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--init_weights", default=None,
+                    help="warm-start params from a weights file in any "
+                         "checkpoint_io layout (.npz release, Orbax dir, "
+                         "torch .pth.tar); optimizer state starts fresh — "
+                         "use for LR-decay legs when the original Orbax "
+                         "run directory is gone")
     ap.add_argument("--valid_iter", type=int, default=0,
                     help="validation/checkpoint cadence (0 = steps//10); "
                          "keep small on flaky attachments so a crash loses "
@@ -104,6 +110,18 @@ def main():
     sample = next(iter(PrefetchLoader(val_ds, args.batch_size,
                                       num_workers=2, shuffle=False)))
     trainer.initialize(sample, seed=0)
+
+    if args.init_weights:
+        from cotr_tpu.models.checkpoint_io import load_params
+        from cotr_tpu.parallel.mesh import replicate
+        from cotr_tpu.training.train_step import TrainState
+
+        loaded = jax.tree_util.tree_map(
+            jnp.asarray, load_params(args.init_weights, model_cfg))
+        st = trainer.state
+        trainer.state = TrainState(*replicate(
+            (st.step, loaded, st.opt_state), trainer.mesh))
+        print(f"warm-started params from {args.init_weights}")
 
     from cotr_tpu.ops.canvas import (canvas_from_crops_and_homographies,
                                      normalize_canvas)
