@@ -49,20 +49,39 @@ def _warp_host(img: np.ndarray, h_mat: np.ndarray,
     return (top + (bot - top) * fy).reshape(oh, ow, img.shape[-1])
 
 
+def _apply_photo_host(img_u8: np.ndarray, gb: np.ndarray) -> np.ndarray:
+    """Per-channel gain + bias on a uint8 frame (host twin of the device
+    photometric path in ops.canvas.canvas_from_crops_and_homographies)."""
+    f = img_u8.astype(np.float32) / 255.0
+    f = np.clip(f * gb[:3] + gb[3], 0.0, 1.0)
+    return (f * 255.0).astype(np.uint8)
+
+
 class SyntheticHomographyDataset:
     """len() controls epoch size; samples are fully determined by
     (seed, index) so epochs shuffle deterministically."""
+
+    #: textures excluded from the DEFAULT training set because they are the
+    #: held-out accuracy-eval images (tools/eval_synthetic_pair.py evaluates
+    #: on cathedral_1; cathedral_2 is the same scene). Training on them made
+    #: the committed eval numbers a texture-level train/test leak (VERDICT r3
+    #: weak #1) — different warps, same pixels.
+    EVAL_TEXTURES = ("cathedral_1.jpg", "cathedral_2.jpg")
 
     def __init__(self, image_paths: Optional[Sequence[str]] = None,
                  length: int = 2048, num_kp: int = 100,
                  bidirectional: bool = True, max_corner_jitter: float = 0.2,
                  seed: int = 0, raw_uint8: bool = True,
                  max_crop_side: int = 512, device_warp: bool = False,
-                 zoom: bool = False, zoom_prob: float = 1.0):
+                 zoom: bool = False, zoom_prob: float = 1.0,
+                 rot_deg: float = 0.0, scale_range=None,
+                 photo_jitter: float = 0.0):
         if image_paths is None:
-            image_paths = sorted(
-                glob.glob("/root/reference/sample_data/imgs/*.jpg") +
-                glob.glob("/root/reference/sample_data/imgs/*.JPG"))
+            image_paths = [
+                p for p in sorted(
+                    glob.glob("/root/reference/sample_data/imgs/*.jpg") +
+                    glob.glob("/root/reference/sample_data/imgs/*.JPG"))
+                if os.path.basename(p) not in self.EVAL_TEXTURES]
         assert image_paths, "no texture images found"
         self.images: List[np.ndarray] = []
         for p in image_paths:
@@ -94,6 +113,15 @@ class SyntheticHomographyDataset:
         # seeding distribution alive during short zoom fine-tunes)
         self.zoom_prob = zoom_prob
         self.zoom_levels = np.logspace(0.0, -1.0, 10)
+        # curriculum broadeners (VERDICT r3 next #1): in-plane rotation and
+        # scale are composed INTO the pair homography about the canvas
+        # center, so they cost nothing extra in device_warp mode (the B
+        # frame is synthesized through h_mat either way); photometric jitter
+        # applies independent per-side gain/bias so the model must learn
+        # photometric invariance, not pixel matching.
+        self.rot_deg = rot_deg
+        self.scale_range = scale_range  # e.g. (0.8, 1.25), log-uniform
+        self.photo_jitter = photo_jitter
 
     def __len__(self):
         return self.length
@@ -151,11 +179,40 @@ class SyntheticHomographyDataset:
         jitter = rng.uniform(-self.max_corner_jitter, self.max_corner_jitter,
                              (4, 2)) * s
         h_mat = homography_from_4pts(corners, corners + jitter)
+        if self.rot_deg or self.scale_range:
+            # compose rotation+scale about the canvas center into the pair
+            # homography: pts_b = M H pts_a, so the B frame is rotated/scaled
+            # relative to A (free under device_warp — B is synthesized
+            # through h_mat either way)
+            theta = (np.deg2rad(rng.uniform(-self.rot_deg, self.rot_deg))
+                     if self.rot_deg else 0.0)
+            sc = 1.0
+            if self.scale_range:
+                lo, hi = self.scale_range
+                sc = float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+            c, sn = np.cos(theta) * sc, np.sin(theta) * sc
+            ctr = s / 2.0
+            m = np.array([[c, -sn, ctr - c * ctr + sn * ctr],
+                          [sn, c, ctr - sn * ctr - c * ctr],
+                          [0.0, 0.0, 1.0]])
+            h_mat = m @ h_mat
         if self.zoom and rng.uniform() < self.zoom_prob:
             a, h_mat = self._zoom_crop(a, h_mat, rng)
+        photo = None
+        if self.photo_jitter:
+            j = self.photo_jitter
+            photo = np.stack([
+                np.concatenate([rng.uniform(1 - j, 1 + j, 3),
+                                rng.uniform(-0.5 * j, 0.5 * j, 1)]),
+                np.concatenate([rng.uniform(1 - j, 1 + j, 3),
+                                rng.uniform(-0.5 * j, 0.5 * j, 1)]),
+            ]).astype(np.float32)  # (2, 4): per-side [gain_rgb, bias]
         if not self.device_warp:
             b = _warp_host(a.astype(np.float32), h_mat,
                            (MAX_SIZE, MAX_SIZE)).astype(np.uint8)
+            if photo is not None:
+                a = _apply_photo_host(a, photo[0])
+                b = _apply_photo_host(b, photo[1])
 
         # grid correspondences that stay inside both frames
         n_side = int(np.ceil(np.sqrt(self.num_kp * 3)))
@@ -189,6 +246,8 @@ class SyntheticHomographyDataset:
         out = {"crop": a.astype(np.uint8),
                "h_mat": h_mat.astype(np.float32),
                "corrs": corrs.astype(np.float32)}
+        if photo is not None:
+            out["photo"] = photo
         if self.bidirectional:
             out["queries"] = np.concatenate(
                 [corrs[:, :2], corrs[:, 2:]], axis=0).astype(np.float32)

@@ -72,13 +72,27 @@ def warp_homography_batch(images: jnp.ndarray,
 
 
 def canvas_from_crops_and_homographies(crops: jnp.ndarray,
-                                       h_mats: jnp.ndarray) -> jnp.ndarray:
+                                       h_mats: jnp.ndarray,
+                                       photo: jnp.ndarray = None
+                                       ) -> jnp.ndarray:
     """(B, 256, 256, 3) uint8 source crops + (B, 3, 3) homographies ->
     normalized (B, 256, 512, 3) training canvases, entirely on device:
     warp B-side, side-by-side, ImageNet-normalize. Device-side synthetic
-    supervision — the host only crops and does 3x3 math."""
+    supervision — the host only crops and does 3x3 math.
+
+    ``photo`` (B, 2, 4) optional per-side photometric jitter [gain_rgb,
+    bias]: applied independently to the A and B frames (geometry and thus
+    supervision unchanged), so training must learn photometric invariance
+    rather than pixel-identical matching.
+    """
     a = crops.astype(jnp.float32) / 255.0
     b_img = warp_homography_batch(a, h_mats)
+    if photo is not None:
+        def jit_side(img, gb):  # gb: (B, 4)
+            g = gb[:, None, None, :3]
+            return jnp.clip(img * g + gb[:, None, None, 3:4], 0.0, 1.0)
+        a = jit_side(a, photo[:, 0])
+        b_img = jit_side(b_img, photo[:, 1])
     return normalize_canvas(jnp.concatenate([a, b_img], axis=2))
 
 

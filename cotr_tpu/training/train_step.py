@@ -53,7 +53,8 @@ def batch_canvas(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         return _prep_image(batch["image"])
     from cotr_tpu.ops.canvas import canvas_from_crops_and_homographies
 
-    return canvas_from_crops_and_homographies(batch["crop"], batch["h_mat"])
+    return canvas_from_crops_and_homographies(batch["crop"], batch["h_mat"],
+                                              batch.get("photo"))
 
 
 def create_train_state(model, cfg: TrainConfig, rng,

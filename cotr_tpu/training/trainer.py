@@ -144,7 +144,7 @@ class Trainer:
         losses = []
         first = None
         for batch in self.val_loader():
-            keep = ("image", "queries", "targets", "crop", "h_mat")
+            keep = ("image", "queries", "targets", "crop", "h_mat", "photo")
             batch = {k: batch[k] for k in keep if k in batch}
             jbatch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
@@ -196,7 +196,7 @@ class Trainer:
                 if step >= self.cfg.max_iter:
                     break
                 rng, sub = jax.random.split(rng)
-                keep = ("image", "queries", "targets", "crop", "h_mat")
+                keep = ("image", "queries", "targets", "crop", "h_mat", "photo")
                 batch = {k: batch[k] for k in keep if k in batch}
                 batch = shard_batch(
                     jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)

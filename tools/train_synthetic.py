@@ -49,6 +49,16 @@ def main():
     ap.add_argument("--zoom_prob", type=float, default=1.0,
                     help="fraction of zoomed samples when --zoom (mixed "
                          "curriculum for short fine-tunes)")
+    ap.add_argument("--rot_deg", type=float, default=0.0,
+                    help="compose +/- this in-plane rotation (deg) into the "
+                         "pair homography (free under device_warp)")
+    ap.add_argument("--scale_lo", type=float, default=0.0,
+                    help="with --scale_hi: log-uniform relative scale "
+                         "composed into the pair homography")
+    ap.add_argument("--scale_hi", type=float, default=0.0)
+    ap.add_argument("--photo_jitter", type=float, default=0.0,
+                    help="independent per-side photometric gain/bias jitter "
+                         "(trains photometric invariance)")
     ap.add_argument("--out", default="out/synthetic_run")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--init_weights", default=None,
@@ -87,16 +97,20 @@ def main():
                             num_kp=args.num_kp, out_dir=args.out,
                             suffix="synthetic")
 
+    aug = dict(rot_deg=args.rot_deg,
+               scale_range=((args.scale_lo, args.scale_hi)
+                            if args.scale_lo and args.scale_hi else None),
+               photo_jitter=args.photo_jitter)
     train_ds = SyntheticHomographyDataset(length=args.epoch_len,
                                           num_kp=args.num_kp, seed=1,
                                           device_warp=args.device_warp,
                                           zoom=args.zoom,
-                                          zoom_prob=args.zoom_prob)
+                                          zoom_prob=args.zoom_prob, **aug)
     val_ds = SyntheticHomographyDataset(length=args.batch_size * 4,
                                         num_kp=args.num_kp, seed=777,
                                         device_warp=args.device_warp,
                                         zoom=args.zoom,
-                                        zoom_prob=args.zoom_prob)
+                                        zoom_prob=args.zoom_prob, **aug)
 
     model = build_model(model_cfg)
     trainer = Trainer(
