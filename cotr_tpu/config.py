@@ -100,6 +100,14 @@ class TrainConfig:
 
     learning_rate: float = 1e-4
     lr_backbone: float = 0.0
+    #: "constant" (reference behavior) or "cosine": decay every group's lr
+    #: from its base to base*lr_final_frac over lr_decay_steps. One decayed
+    #: run replaces the round-3 chain of warm-started constant-lr legs
+    #: (PERF.md §6: constant-lr plateau noise made checkpoint quality
+    #: depend on the sampling instant).
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 0
+    lr_final_frac: float = 0.03
     batch_size: int = 24
     max_iter: int = 300_000
     valid_iter: int = 1000

@@ -49,12 +49,26 @@ def param_labels(params: Any, lr_backbone: float) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def _group_lr(cfg: TrainConfig, base: float):
+    """Base lr or a cosine decay to base*lr_final_frac over lr_decay_steps.
+
+    The schedule rides the Adam count inside opt_state, so Orbax resume
+    continues it mid-curve; warm-starting params with a fresh opt_state
+    restarts it (the intended behavior for a new decay run)."""
+    if cfg.lr_schedule == "cosine" and cfg.lr_decay_steps > 0:
+        return optax.cosine_decay_schedule(base, cfg.lr_decay_steps,
+                                           alpha=cfg.lr_final_frac)
+    assert cfg.lr_schedule in ("constant", "cosine"), cfg.lr_schedule
+    return base
+
+
 def build_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
     labels = param_labels(params, cfg.lr_backbone)
     tx = optax.multi_transform(
         {
-            "main": optax.adam(cfg.learning_rate),
-            "backbone": optax.adam(max(cfg.lr_backbone, 1e-30)),
+            "main": optax.adam(_group_lr(cfg, cfg.learning_rate)),
+            "backbone": optax.adam(_group_lr(cfg, max(cfg.lr_backbone,
+                                                      1e-30))),
             "frozen": optax.set_to_zero(),
         },
         labels,

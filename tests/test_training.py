@@ -137,3 +137,26 @@ def test_checkpoint_io_loads_trainer_and_raw_layouts(tmp_path):
         assert len(ref_leaves) == len(got_leaves)
         for a, b in zip(ref_leaves, got_leaves):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cosine_lr_schedule_decays():
+    """lr_schedule='cosine' must actually shrink update magnitudes over the
+    decay horizon (and build/step without error)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cotr_tpu.config import TrainConfig
+    from cotr_tpu.training.optim import build_optimizer
+
+    cfg = TrainConfig(learning_rate=1e-2, lr_schedule="cosine",
+                      lr_decay_steps=10, lr_final_frac=0.01)
+    params = {"transformer": {"w": jnp.ones((3,))}}
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    g = {"transformer": {"w": jnp.ones((3,))}}
+    sizes = []
+    for _ in range(10):
+        upd, state = tx.update(g, state, params)
+        sizes.append(float(jnp.abs(upd["transformer"]["w"]).max()))
+    assert sizes[-1] < sizes[0] * 0.2, sizes  # decayed well below initial

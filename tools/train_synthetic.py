@@ -25,6 +25,13 @@ def main():
                     help="the reference freezes its ImageNet-pretrained "
                          "backbone; training from scratch needs it on")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--lr_schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine decays every group's lr to "
+                         "lr*lr_final_frac over --lr_decay_steps "
+                         "(default: --steps)")
+    ap.add_argument("--lr_decay_steps", type=int, default=0)
+    ap.add_argument("--lr_final_frac", type=float, default=0.03)
     ap.add_argument("--enc_layers", type=int, default=6)
     ap.add_argument("--dec_layers", type=int, default=6)
     ap.add_argument("--num_kp", type=int, default=100)
@@ -91,6 +98,10 @@ def main():
                            dec_layers=args.dec_layers, dropout=args.dropout)
     train_cfg = TrainConfig(learning_rate=args.learning_rate,
                             lr_backbone=args.lr_backbone,
+                            lr_schedule=args.lr_schedule,
+                            lr_decay_steps=(args.lr_decay_steps
+                                            or args.steps),
+                            lr_final_frac=args.lr_final_frac,
                             batch_size=args.batch_size, max_iter=args.steps,
                             valid_iter=(args.valid_iter
                                         or max(args.steps // 10, 50)),
