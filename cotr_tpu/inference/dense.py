@@ -72,6 +72,48 @@ def full_grid_queries(h: int = MAX_SIZE, w: int = 2 * MAX_SIZE) -> np.ndarray:
     return grid.reshape(-1, 2).astype(np.float32)
 
 
+def _make_fused_dense(runner: ModelRunner):
+    model = runner.model
+    chunk = runner.decode_chunk
+    h, w = MAX_SIZE, 2 * MAX_SIZE
+
+    @jax.jit
+    def fn(params, canvas):
+        b = canvas.shape[0]
+        queries = jnp.broadcast_to(jnp.asarray(full_grid_queries())[None],
+                                   (b, h * w, 2))
+        memory = model.apply(params, canvas, method="encode")
+        k = -(-(h * w) // chunk)
+        pad = k * chunk - h * w
+        q = queries
+        if pad:
+            q = jnp.concatenate(
+                [q, jnp.zeros((b, pad, 2), q.dtype)], axis=1)
+        q_chunks = q.reshape(b, k, -1, 2).transpose(1, 0, 2, 3)
+
+        def body(carry, qc):
+            return carry, model.apply(params, memory, qc, method="decode")
+
+        _, outs = jax.lax.scan(body, None, q_chunks)
+        out = outs.transpose(1, 0, 2, 3).reshape(b, k * chunk, 2)[:, :h * w]
+
+        out_grid = out.reshape(b, h, w, 2) * 2 - 1
+        in_grid = queries.reshape(b, h, w, 2) * 2 - 1
+        # flow-through-itself cycle (inference_helper.py:137-140)
+        cycle = jax.vmap(grid_sample)(out_grid, out_grid)
+        confidence = jnp.linalg.norm(cycle - in_grid, axis=-1)
+
+        # remap x to per-image [-1, 1]: left-half queries predict into
+        # image b, right-half into image a (inference_helper.py:142-143)
+        corr_x = jnp.concatenate([
+            out_grid[:, :, :MAX_SIZE, 0] * 2 - 1,
+            out_grid[:, :, MAX_SIZE:, 0] * 2 + 1,
+        ], axis=2)
+        return jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
+
+    return fn
+
+
 def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
     """canvas (B, 256, 512, 3) normalized -> (B, 256, 512, 3) stacked
     [corr_x, corr_y (global canvas coords in [-1,1] doubled per half),
@@ -80,27 +122,17 @@ def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
     The batch axis carries independent canvases — patch-pairs of one image
     pair and/or canvases of DIFFERENT pairs — so multi-pair workloads fill
     the encode batch and amortize the 131k-query decode scan.
+
+    The WHOLE pass (encode + chunked decode scan + cycle confidence +
+    remap) is one jitted program per runner: the round-3 version dispatched
+    the post-decode math as ~10 eager ops, whose per-op dispatch overhead
+    over the tunnel was a measurable share of dense_flow wall time
+    (tools/triage_dense.py, VERDICT r3 weak #3).
     """
-    b = canvas.shape[0]
-    h, w = MAX_SIZE, 2 * MAX_SIZE
-    queries = jnp.broadcast_to(jnp.asarray(full_grid_queries())[None],
-                               (b, h * w, 2))
-    memory = runner.encode(canvas)
-    out = runner.decode_chunked(memory, queries)  # (B, HW, 2)
-
-    out_grid = out.reshape(b, h, w, 2) * 2 - 1
-    in_grid = queries.reshape(b, h, w, 2) * 2 - 1
-    # flow-through-itself cycle (inference_helper.py:137-140)
-    cycle = jax.vmap(grid_sample)(out_grid, out_grid)
-    confidence = jnp.linalg.norm(cycle - in_grid, axis=-1)
-
-    # remap x to per-image [-1, 1]: left-half queries predict into image b,
-    # right-half into image a (inference_helper.py:142-143)
-    corr_x = jnp.concatenate([
-        out_grid[:, :, :MAX_SIZE, 0] * 2 - 1,
-        out_grid[:, :, MAX_SIZE:, 0] * 2 + 1,
-    ], axis=2)
-    return jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
+    fn = getattr(runner, "_fused_dense", None)
+    if fn is None:
+        fn = runner._fused_dense = _make_fused_dense(runner)
+    return fn(runner.params, canvas)
 
 
 def _canvas_from_pair(img_a_sq: np.ndarray, img_b_sq: np.ndarray
@@ -161,6 +193,14 @@ def merge_flow_patches(corrs: List[ImagePatch]
     """Min-confidence merge of per-patch flow fields into the full frame
     (inference_helper.py:61-75). Returns (flow, confidence, provenance)."""
     oh, ow = corrs[0].oh, corrs[0].ow
+    if (len(corrs) == 1 and corrs[0].x == 0 and corrs[0].y == 0
+            and corrs[0].w == ow and corrs[0].h == oh):
+        # single full-frame patch (square inputs — the common dense_flow
+        # case): the masked merge below degenerates to a copy; skip the
+        # three full-frame boolean masks (~0.1 s/side at 1024² on this host)
+        c = corrs[0]
+        return (c.patch[..., :2].astype(np.float64),
+                c.patch[..., 2].astype(np.float64), np.zeros([oh, ow]))
     confidence = np.full([oh, ow], 100.0)
     flow = np.zeros([oh, ow, 2])
     cmap = np.full([oh, ow], -1.0)

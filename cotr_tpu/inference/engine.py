@@ -368,47 +368,82 @@ class SparseEngine:
         """One-shot (no-zoom) sparse queries over exhaustive patch pairs with
         cycle-consistency confidence (cotr_corr_base,
         inference_helper.py:185-232)."""
-        from cotr_tpu.ops.canvas import normalize_canvas, two_images_side_by_side
-        import jax.numpy as jnp
+        return self.corr_base_many([(img_a, img_b, queries_a)])[0]
 
-        patches_a = to_square_patches(np.asarray(img_a))
-        patches_b = to_square_patches(np.asarray(img_b))
-        preds = []
-        for p_i in patches_a:
-            for p_j in patches_b:
-                q = queries_a.copy()
+    def corr_base_many(self, jobs) -> list:
+        """Batched ``corr_base`` over MANY (img_a, img_b, queries_a) jobs.
+
+        Every patch-pair canvas of every job joins ONE encode batch, and the
+        forward + cycle decodes are two chunked dispatches over the whole
+        batch — O(1) device dispatches per call instead of the reference's
+        (and round-3 port's) 3 dispatches per patch-pair
+        (inference_helper.py:185-232 runs a full forward per patch-pair;
+        VERDICT r3 weak #5). Canvases are chunked to a fixed batch of 8 and
+        query counts padded to a bucket so repeated calls reuse compiles.
+
+        Returns one (N_i, 4) corrs array per job.
+        """
+        entries = []  # (job_idx, p_i, p_j, qn, in_patch)
+        for ji, (img_a, img_b, queries_a) in enumerate(jobs):
+            q = np.asarray(queries_a, np.float64)
+            patches_b = to_square_patches(np.asarray(img_b))
+            for p_i in to_square_patches(np.asarray(img_a)):
                 in_patch = ((q[:, 0] >= p_i.x) & (q[:, 1] >= p_i.y) &
                             (q[:, 0] <= p_i.x + p_i.w) &
                             (q[:, 1] <= p_i.y + p_i.h))
                 qn = np.stack([(q[:, 0] - p_i.x) / (2 * p_i.w),
                                (q[:, 1] - p_i.y) / p_i.h], axis=1)
+                for p_j in patches_b:
+                    entries.append((ji, p_i, p_j, qn, in_patch))
 
-                def dev01(patch):
-                    d = jnp.asarray(np.asarray(patch))
-                    d = d.astype(jnp.float32)
-                    if (patch.dtype == np.uint8 or
-                            float(np.asarray(patch).max()) > 2.0):
-                        d = d / 255.0
-                    return resize_bilinear(d, (256, 256))
+        from cotr_tpu.inference.dense import _canvas_from_pair
 
-                canvas = normalize_canvas(two_images_side_by_side(
-                    dev01(p_i.patch), dev01(p_j.patch)))[None]
-                mem = self.runner.encode(jnp.asarray(canvas))
-                out = np.asarray(self.runner.decode(
-                    mem, qn[None].astype(np.float32)))[0]
-                cycle = np.asarray(self.runner.decode(
-                    mem, out[None]))[0]
-                conf = np.linalg.norm(qn - cycle, axis=1)
-                conf[~in_patch] = np.inf
-                pred = np.stack([
-                    (out[:, 0] - 0.5) * 2 * p_j.w + p_j.x,
-                    out[:, 1] * p_j.h + p_j.y,
-                    conf,
-                ], axis=1)
-                preds.append(pred)
-        preds = np.stack(preds)  # (P, N, 3)
-        best = preds[np.argmin(preds[..., 2], axis=0), np.arange(preds.shape[1])]
-        return np.concatenate([queries_a, best[:, :2]], axis=1)
+        n_max = max(e[3].shape[0] for e in entries)
+        n_pad = max(8, -(-n_max // 8) * 8)  # query-count bucket
+        q_all = np.zeros((len(entries), n_pad, 2), np.float32)
+        for k, (_, _, _, qn, _) in enumerate(entries):
+            q_all[k, :qn.shape[0]] = qn
+
+        chunk = 8  # fixed canvas batch: shape-stable encode/decode compiles
+        outs, cycles = [], []
+        for start in range(0, len(entries), chunk):
+            sub = entries[start:start + chunk]
+            canvas = jnp.concatenate(
+                [_canvas_from_pair(p_i.patch, p_j.patch)
+                 for _, p_i, p_j, _, _ in sub], axis=0)
+            qb = q_all[start:start + len(sub)]
+            pad = chunk - len(sub)
+            if pad and len(entries) > chunk:
+                canvas = jnp.concatenate(
+                    [canvas, jnp.repeat(canvas[-1:], pad, axis=0)], axis=0)
+                qb = np.concatenate(
+                    [qb, np.repeat(qb[-1:], pad, axis=0)], axis=0)
+            mem = self.runner.encode(canvas)
+            out = self.runner.decode_chunked(mem, jnp.asarray(qb))
+            cyc = self.runner.decode_chunked(mem, out)
+            outs.append(np.asarray(out)[:len(sub)])
+            cycles.append(np.asarray(cyc)[:len(sub)])
+        out_all = np.concatenate(outs, axis=0)
+        cyc_all = np.concatenate(cycles, axis=0)
+
+        per_job = [[] for _ in jobs]
+        for k, (ji, p_i, p_j, qn, in_patch) in enumerate(entries):
+            n = qn.shape[0]
+            conf = np.linalg.norm(qn - cyc_all[k, :n], axis=1)
+            conf[~in_patch] = np.inf
+            per_job[ji].append(np.stack([
+                (out_all[k, :n, 0] - 0.5) * 2 * p_j.w + p_j.x,
+                out_all[k, :n, 1] * p_j.h + p_j.y,
+                conf,
+            ], axis=1))
+        results = []
+        for ji, (_, _, queries_a) in enumerate(jobs):
+            preds = np.stack(per_job[ji])  # (P, N, 3)
+            best = preds[np.argmin(preds[..., 2], axis=0),
+                         np.arange(preds.shape[1])]
+            results.append(np.concatenate(
+                [np.asarray(queries_a, np.float64), best[:, :2]], axis=1))
+        return results
 
 
 class FasterSparseEngine(SparseEngine):
@@ -527,13 +562,15 @@ class FasterSparseEngine(SparseEngine):
 
         # ---- seed (batched dense pass unless scales are known)
         if areas_list is not None:
-            seeds = []
-            for (a, b), q, ar in zip(pairs, queries_list, areas_list):
+            for q in queries_list:
                 assert q is not None and force
-                corr = self.corr_base(a, b, q)
-                seeds.append((corr[:, :2], corr[:, 2:],
-                              np.arange(len(corr)),
-                              float(ar[0]), float(ar[1])))
+            # known-scale seeding: ALL pairs' patch canvases share one
+            # batched corr_base pass (no per-pair encode/decode loop)
+            corrs_all = self.corr_base_many(
+                [(a, b, q) for (a, b), q in zip(pairs, queries_list)])
+            seeds = [(corr[:, :2], corr[:, 2:], np.arange(len(corr)),
+                      float(ar[0]), float(ar[1]))
+                     for corr, ar in zip(corrs_all, areas_list)]
         else:
             dense = self._dense_fields_many(pairs)
             seeds = [self._seed_tasks(a, b, max_corrs_list[i], q, force,

