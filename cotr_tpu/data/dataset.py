@@ -135,13 +135,21 @@ class CotrDataset:
     ('crop_center_and_resize'); correspondences from full-frame depth
     reprojection (cotr_dataset.py:21-122)."""
 
-    def __init__(self, cfg: DataConfig, dataset_type: str, seed: int = 0):
+    def __init__(self, cfg: DataConfig, dataset_type: str, seed: int = 0,
+                 device_synth: bool = False, cand_factor: int = 6):
         self.cfg = cfg
         self.dataset_type = dataset_type
         self.sfm = MegadepthDataset(cfg, dataset_type,
                                     rng=random.Random(seed))
         self.rng = np.random.RandomState(seed)
         self._py_rng = random.Random(seed + 1)
+        # device_synth: emit the data.device_synth layout — candidate depth
+        # pixels + camera matrices + quantized query depth — and synthesize
+        # correspondences INSIDE the jitted train step (the loader-bound
+        # escape hatch measured in PERF.md §4; host work per sample drops to
+        # crops + an np.where + gathers)
+        self.device_synth = device_synth
+        self.cand_factor = cand_factor
 
     def __len__(self):
         if self.dataset_type == "val":
@@ -164,6 +172,19 @@ class CotrDataset:
             query_cap, nn_caps = self.sfm.get_query_with_knn(index)
             nn_cap = nn_caps[0]
             query_cap, nn_cap = self._augment_rotation(query_cap, nn_cap)
+            if self.device_synth:
+                # cheap host-side viability check only (the real validity —
+                # projection + occlusion — happens on device; samples with
+                # few valid picks contribute proportionally via weights)
+                if (np.count_nonzero(nn_cap.depth_map) < self.cfg.num_kp
+                        or np.count_nonzero(query_cap.depth_map) == 0):
+                    index = self.rng.randint(0, len(self))
+                    continue
+                from cotr_tpu.data.device_synth import emit_device_sample
+
+                return emit_device_sample(query_cap, nn_cap,
+                                          self.cfg.num_kp, self.rng,
+                                          cand_factor=self.cand_factor)
             corrs = compute_corrs(nn_cap, query_cap)
             # corrs: nn -> query; package as (query, nn) ordering like the
             # reference (query keypoints first, cotr_dataset.py:95-97)

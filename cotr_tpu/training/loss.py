@@ -36,20 +36,33 @@ def masked_mse(err_sq: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def cotr_loss(model, params, canvas, queries, targets, *,
               cycle_consis: bool = True, bidirectional: bool = True,
-              train: bool = True, rngs: Dict[str, Any] | None = None
+              train: bool = True, rngs: Dict[str, Any] | None = None,
+              weights: jnp.ndarray | None = None
               ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Returns (loss, metrics)."""
+    """Returns (loss, metrics).
+
+    ``weights`` (B, Q) optional per-query validity: device-synthesized
+    supervision (data.device_synth) cannot re-draw samples with too few
+    valid correspondences under fixed shapes, so invalid picks carry weight
+    0 and both loss terms normalize by the weight sum."""
     def fwd(q):
         return model.apply(params, canvas, q, train=train,
                            rngs=rngs or {})
 
     pred = fwd(queries)
-    corr_loss = jnp.mean((pred - targets) ** 2)
+    if weights is None:
+        corr_loss = jnp.mean((pred - targets) ** 2)
+    else:
+        w = weights.astype(pred.dtype)[..., None]
+        corr_loss = ((pred - targets) ** 2 * w).sum() / \
+            jnp.maximum(w.sum() * pred.shape[-1], 1.0)
     loss = corr_loss
     cycle_loss = jnp.zeros(())
     if cycle_consis and bidirectional:
         cycle = fwd(pred)
         mask = jnp.linalg.norm(cycle - queries, axis=-1) < CYCLE_THRESH
+        if weights is not None:
+            mask = mask & (weights > 0)
         cycle_loss = masked_mse((cycle - queries) ** 2, mask)
         loss = loss + cycle_loss
     elif cycle_consis:
@@ -60,6 +73,8 @@ def cotr_loss(model, params, canvas, queries, targets, *,
                             rngs=rngs or {})
         cycle = cycle.at[..., 0].add(-0.5)
         mask = jnp.linalg.norm(cycle - queries, axis=-1) < CYCLE_THRESH
+        if weights is not None:
+            mask = mask & (weights > 0)
         cycle_loss = masked_mse((cycle - queries) ** 2, mask)
         loss = loss + cycle_loss
     metrics = {"loss": loss, "corr_loss": corr_loss,

@@ -49,7 +49,7 @@ def batch_canvas(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
       (ops.canvas.canvas_from_crops_and_homographies), halving the
       host's per-sample synthesis work and the host->device bytes.
     """
-    if "image" in batch:
+    if "image" in batch and "cand" not in batch:
         return _prep_image(batch["image"])
     from cotr_tpu.ops.canvas import canvas_from_crops_and_homographies
 
@@ -57,11 +57,31 @@ def batch_canvas(batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
                                               batch.get("photo"))
 
 
+def batch_views(batch: Dict[str, jnp.ndarray], cfg: TrainConfig):
+    """(canvas, queries, targets, weights) from any batch layout:
+
+    * ``image`` + ``queries``/``targets``: host-synthesized supervision
+      (weights None);
+    * ``crop`` + ``h_mat`` [+ ``photo``]: synthetic device-warp layout;
+    * ``cand`` + camera/depth fields: device-side MegaDepth supervision
+      (data.device_synth) — correspondences are synthesized INSIDE the
+      jitted step and invalid picks carry weight 0.
+    """
+    if "cand" in batch:
+        from cotr_tpu.data.device_synth import synth_supervision_batch
+
+        canvas, queries, targets, weights = synth_supervision_batch(
+            batch, cfg.num_kp, cfg.bidirectional)
+        return _prep_image(canvas), queries, targets, weights
+    return (batch_canvas(batch), batch["queries"], batch["targets"], None)
+
+
 def create_train_state(model, cfg: TrainConfig, rng,
                        sample_batch: Dict[str, jnp.ndarray]
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
     one = {k: v[:1] for k, v in sample_batch.items()}
-    params = model.init(rng, batch_canvas(one), one["queries"])
+    canvas, queries, _, _ = batch_views(one, cfg)
+    params = model.init(rng, canvas, queries)
     tx = build_optimizer(cfg, params["params"])
     opt_state = tx.init(params["params"])
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state), tx
@@ -76,11 +96,12 @@ def make_train_step(model, tx, cfg: TrainConfig,
     """
 
     def loss_fn(p, batch, rng):
+        canvas, queries, targets, weights = batch_views(batch, cfg)
         loss, metrics = cotr_loss(
-            model, {"params": p}, batch_canvas(batch),
-            batch["queries"], batch["targets"], cycle_consis=cfg.cycle_consis,
+            model, {"params": p}, canvas, queries, targets,
+            cycle_consis=cfg.cycle_consis,
             bidirectional=cfg.bidirectional, train=True,
-            rngs={"dropout": rng})
+            rngs={"dropout": rng}, weights=weights)
         return loss, metrics
 
     def step_fn(state: TrainState, batch, rng):
@@ -114,9 +135,14 @@ def make_train_step(model, tx, cfg: TrainConfig,
 
 def make_eval_step(model, cfg: TrainConfig, mesh: Optional[Mesh] = None):
     def eval_fn(params, batch):
-        image = batch_canvas(batch)
-        pred = model.apply(params, image, batch["queries"])
-        return {"val_loss": jnp.mean((pred - batch["targets"]) ** 2),
-                "pred": pred}
+        canvas, queries, targets, weights = batch_views(batch, cfg)
+        pred = model.apply(params, canvas, queries)
+        if weights is None:
+            val = jnp.mean((pred - targets) ** 2)
+        else:
+            w = weights.astype(pred.dtype)[..., None]
+            val = ((pred - targets) ** 2 * w).sum() / \
+                jnp.maximum(w.sum() * pred.shape[-1], 1.0)
+        return {"val_loss": val, "pred": pred}
 
     return jax.jit(eval_fn)

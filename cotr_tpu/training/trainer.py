@@ -29,6 +29,12 @@ from cotr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from cotr_tpu.training.train_step import (TrainState, create_train_state,
                                           make_eval_step, make_train_step)
 
+#: batch keys consumed by the jitted steps, across all layouts (host canvas,
+#: synthetic device-warp, device-synth MegaDepth — see train_step.batch_views)
+KEEP_KEYS = ("image", "queries", "targets", "crop", "h_mat", "photo",
+             "cand", "qdepth", "qscale", "kinv_nn", "c2w_nn", "proj_q",
+             "flip", "skey")
+
 
 class Trainer:
     def __init__(self, model, model_cfg: COTRConfig, train_cfg: TrainConfig,
@@ -144,13 +150,14 @@ class Trainer:
         losses = []
         first = None
         for batch in self.val_loader():
-            keep = ("image", "queries", "targets", "crop", "h_mat", "photo")
-            batch = {k: batch[k] for k in keep if k in batch}
+            batch = {k: batch[k] for k in KEEP_KEYS if k in batch}
             jbatch = shard_batch(
                 jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
             out = self._eval_step(self.state.params, jbatch)
             losses.append(float(out["val_loss"]))
-            if first is None:
+            if first is None and "queries" in batch:
+                # TB corr renderings need host-known queries; the
+                # device-synth layout synthesizes them inside the step
                 first = (batch, np.asarray(out["pred"]))
         val = float(np.mean(losses)) if losses else float("nan")
         if self._tb is not None and np.isfinite(val):
@@ -196,8 +203,7 @@ class Trainer:
                 if step >= self.cfg.max_iter:
                     break
                 rng, sub = jax.random.split(rng)
-                keep = ("image", "queries", "targets", "crop", "h_mat", "photo")
-                batch = {k: batch[k] for k in keep if k in batch}
+                batch = {k: batch[k] for k in KEEP_KEYS if k in batch}
                 batch = shard_batch(
                     jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 self.state, metrics = self._train_step(self.state, batch, sub)

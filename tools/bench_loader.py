@@ -139,6 +139,10 @@ def main():
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--root", default="/tmp/bench_loader_scene")
+    ap.add_argument("--device_synth", action="store_true",
+                    help="emit the device-synth layout (candidates + camera "
+                         "matrices; reprojection/occlusion happen in the "
+                         "jitted step) instead of host supervision")
     ap.add_argument("--use_ram", action="store_true",
                     help="preload images/depths to RAM (reference "
                          "--use_ram; the loader fix for IO-bound sampling)")
@@ -163,7 +167,8 @@ def main():
                              args.width, use_ram=args.use_ram,
                              skip_files=True)
     t0 = time.time()
-    ds = CotrDataset(cfg, "train", seed=0)
+    ds = CotrDataset(cfg, "train", seed=0,
+                     device_synth=args.device_synth)
     print(f"dataset built: {len(ds)} samples in {time.time() - t0:.1f}s")
 
     loader = PrefetchLoader(ds, args.batch_size, num_workers=args.workers,
@@ -196,6 +201,7 @@ def main():
         "device_steps_per_s_stage1": 8.6,  # PERF.md §4 reference point
         "keys": sorted(batch.keys()),
     }
+    result["device_synth"] = args.device_synth
     print(json.dumps(result))
 
 

@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSON file with scenes_name_list/valid_list/splits")
     ap.add_argument("--shuffle_data", type=str2bool, default=True)
     ap.add_argument("--use_ram", type=str2bool, default=False)
+    ap.add_argument("--device_synth", type=str2bool, default=False,
+                    help="synthesize supervision INSIDE the jitted train "
+                         "step (data.device_synth): loader emits candidate "
+                         "depth pixels + camera matrices instead of running "
+                         "reprojection/occlusion on the host. Stage-1/2 "
+                         "(crop_center_and_resize) only.")
     ap.add_argument("--crop_cam", default="crop_center_and_resize")
     ap.add_argument("--scene_file", default=None)
     # kNN (options.py:34-38)
@@ -149,7 +155,13 @@ def main(argv=None):
         zoom_jitter=args.zoom_jitter)
 
     ds_cls = CotrZoomDataset if args.enable_zoom else CotrDataset
-    train_ds = ds_cls(data_cfg, "train", seed=train_cfg.seed)
+    ds_kw = {}
+    if args.device_synth:
+        assert not args.enable_zoom and \
+            args.crop_cam == "crop_center_and_resize", \
+            "--device_synth serves the stage-1/2 pre-cropped layout"
+        ds_kw["device_synth"] = True
+    train_ds = ds_cls(data_cfg, "train", seed=train_cfg.seed, **ds_kw)
     val_ds = ds_cls(data_cfg, "val", seed=train_cfg.seed + 100)
     print(f"train queries: {len(train_ds)}, val queries: {len(val_ds)}")
 
