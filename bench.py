@@ -112,6 +112,16 @@ def main():
     detail = {"dtype": args.dtype, "device": str(jax.devices()[0]),
               "weights": weights_kind}
 
+    def trial_stats(walls):
+        """median + IQR over raw trial wall times (VERDICT r3 next #4: the
+        chip is time-shared, single numbers mix in other tenants' load)."""
+        w = sorted(walls)
+        n = len(w)
+        return {"wall_s": round(w[n // 2], 3),
+                "wall_iqr_s": [round(w[n // 4], 3),
+                               round(w[(3 * n) // 4], 3)],
+                "trials": n}
+
     # ---------------------------------------------------- end-to-end engine
     nq = args.queries or (512 if args.quick else 10_000)
     zoom_ins = list(np.linspace(0.5, 0.0625, 4))[:args.zooms] \
@@ -122,39 +132,47 @@ def main():
     queries = imr.uniform(8, 1016, (nq, 2)).astype(np.float64)
 
     engine = FasterSparseEngine(runner, mode="tile")
-    # warmup: full pipeline once (compiles cached persistently)
-    engine.cotr_corr_multiscale(img_a, img_b, zoom_ins=zoom_ins,
-                                queries_a=queries.copy(), force=True,
-                                max_corrs=nq)
-    e2e_iters = 1 if args.quick else 3
-    t0 = time.time()
-    for _ in range(e2e_iters):
-        corrs = engine.cotr_corr_multiscale(
+
+    def e2e_job():
+        return engine.cotr_corr_multiscale(
             img_a, img_b, zoom_ins=zoom_ins, queries_a=queries.copy(),
             force=True, max_corrs=nq)
-    e2e_dt = (time.time() - t0) / e2e_iters
-    assert corrs.shape[0] == nq, corrs.shape
-    e2e_qps = nq / e2e_dt
-    detail["e2e"] = {"queries": nq, "zoom_depth": len(zoom_ins),
-                     "wall_s": round(e2e_dt, 3)}
 
-    # -------------------------------------------------- dense flow (public)
-    if not args.quick:
+    corrs = e2e_job()  # warmup: full pipeline (compiles cached persistently)
+    assert corrs.shape[0] == nq, corrs.shape
+
+    if args.quick:
+        t0 = time.time()
+        e2e_job()
+        e2e_dt = time.time() - t0
+        detail["e2e"] = {"queries": nq, "zoom_depth": len(zoom_ins),
+                         "wall_s": round(e2e_dt, 3)}
+    else:
+        # dense_flow + e2e measured as INTERLEAVED trials so chip/host
+        # contention hits both alike; median + IQR reported for each
         from cotr_tpu.inference.dense import dense_flow
 
         sq_a = img_a[:1024, :1024]
         sq_b = img_b[:1024, :1024]
         dense_flow(runner, sq_a, sq_b)  # warm
-        t0 = time.time()
-        it_d = 3
-        for _ in range(it_d):
+        e2e_walls, dense_walls = [], []
+        for _ in range(5):
+            t0 = time.time()
             dense_flow(runner, sq_a, sq_b)
-        d_dt = (time.time() - t0) / it_d
+            dense_walls.append(time.time() - t0)
+            t0 = time.time()
+            e2e_job()
+            e2e_walls.append(time.time() - t0)
+        e2e_dt = sorted(e2e_walls)[len(e2e_walls) // 2]
+        detail["e2e"] = {"queries": nq, "zoom_depth": len(zoom_ins),
+                         **trial_stats(e2e_walls)}
+        d_dt = sorted(dense_walls)[len(dense_walls) // 2]
         # one pass decodes the full 256x512 grid = 131,072 queries and
         # yields BOTH directions' fields (inference_helper.py:116-145)
         detail["dense_flow"] = {
-            "queries": 131072, "wall_s": round(d_dt, 3),
+            "queries": 131072, **trial_stats(dense_walls),
             "q_s": round(131072 / d_dt, 1)}
+    e2e_qps = nq / e2e_dt
 
     # ------------------------------------------- device pipeline (ceiling)
     if not args.skip_device:
@@ -193,41 +211,53 @@ def main():
     # per-pair jobs. Serially each pair pays the dense pass + underfilled
     # squad dispatches alone; the multipair engine shares every dispatch.
     if not args.quick:
-        n_pairs_mp, q_per_pair = 8, 256
-        mp_imgs = [(imr.randint(0, 255, (512, 512, 3), dtype=np.uint8),
-                    imr.randint(0, 255, (512, 512, 3), dtype=np.uint8))
-                   for _ in range(n_pairs_mp)]
-        mp_queries = [imr.uniform(8, 504, (q_per_pair, 2)).astype(np.float64)
-                      for _ in range(n_pairs_mp)]
-        eng_mp = FasterSparseEngine(runner, mode="tile")
+        def mp_regime(n_pairs_mp, q_per_pair, zooms_mp, side, key):
+            """Batched-vs-serial multipair delta for one workload regime."""
+            mp_imgs = [(imr.randint(0, 255, (side, side, 3), dtype=np.uint8),
+                        imr.randint(0, 255, (side, side, 3), dtype=np.uint8))
+                       for _ in range(n_pairs_mp)]
+            mp_queries = [imr.uniform(8, side - 8, (q_per_pair, 2)
+                                      ).astype(np.float64)
+                          for _ in range(n_pairs_mp)]
+            eng_mp = FasterSparseEngine(runner, mode="tile")
 
-        def mp_job():
-            eng_mp.cotr_corr_multiscale_multipair(
-                mp_imgs, zoom_ins=zoom_ins, max_corrs=q_per_pair,
-                queries_list=[q.copy() for q in mp_queries], force=True,
-                pair_seeds=list(range(n_pairs_mp)))
+            def mp_job():
+                eng_mp.cotr_corr_multiscale_multipair(
+                    mp_imgs, zoom_ins=zooms_mp, max_corrs=q_per_pair,
+                    queries_list=[q.copy() for q in mp_queries], force=True,
+                    pair_seeds=list(range(n_pairs_mp)))
 
-        def mp_serial():
-            for (ia, ib), q in zip(mp_imgs, mp_queries):
-                eng_mp.cotr_corr_multiscale(
-                    ia, ib, zoom_ins=zoom_ins, max_corrs=q_per_pair,
-                    queries_a=q.copy(), force=True)
+            def mp_serial():
+                for (ia, ib), q in zip(mp_imgs, mp_queries):
+                    eng_mp.cotr_corr_multiscale(
+                        ia, ib, zoom_ins=zooms_mp, max_corrs=q_per_pair,
+                        queries_a=q.copy(), force=True)
 
-        mp_job()  # warm
-        t0 = time.time()
-        mp_job()
-        mp_dt = time.time() - t0
-        mp_serial()  # warm
-        t0 = time.time()
-        mp_serial()
-        mp_serial_dt = time.time() - t0
-        detail["multipair_sweep"] = {
-            "pairs": n_pairs_mp, "queries_per_pair": q_per_pair,
-            "zoom_depth": len(zoom_ins),
-            "wall_s": round(mp_dt, 2),
-            "serial_wall_s": round(mp_serial_dt, 2),
-            "speedup_vs_serial": round(mp_serial_dt / mp_dt, 2),
-            "q_s": round(n_pairs_mp * q_per_pair / mp_dt, 1)}
+            mp_job()  # warm batched-path buckets
+            walls = []
+            for _ in range(2):
+                t0 = time.time()
+                mp_job()
+                walls.append(time.time() - t0)
+            mp_dt = min(walls)
+            mp_serial()  # warm serial-path buckets
+            t0 = time.time()
+            mp_serial()
+            mp_serial_dt = time.time() - t0
+            detail[key] = {
+                "pairs": n_pairs_mp, "queries_per_pair": q_per_pair,
+                "image_side": side, "zoom_depth": len(zooms_mp),
+                "wall_s": round(mp_dt, 2),
+                "serial_wall_s": round(mp_serial_dt, 2),
+                "speedup_vs_serial": round(mp_serial_dt / mp_dt, 2),
+                "q_s": round(n_pairs_mp * q_per_pair / mp_dt, 1)}
+
+        # balanced regime (BASELINE config 5: N modest per-pair jobs)
+        mp_regime(8, 256, zoom_ins, 512, "multipair_sweep")
+        # dispatch-floor regime (VERDICT r3 next #5): many SMALL jobs, where
+        # each serial call pays the dense pass + per-zoom dispatch floor
+        # alone and the batched engine shares every dispatch
+        mp_regime(64, 32, [0.5, 0.25], 256, "multipair_dispatch_floor")
 
     # ------------------------------------------------- guided-matching job
     # the EXACT reference workload (demo_guided_matching.py:36-45 +
@@ -269,16 +299,17 @@ def main():
                 force=True)
 
         guided_job()  # warm the per-image-bucket compiles
-        guided_dt = float("inf")
-        for _ in range(2):  # best-of-2: the tunnel chip is time-shared
+        g_walls = []
+        for _ in range(3):
             t0 = time.time()
             guided_job()
-            guided_dt = min(guided_dt, time.time() - t0)
+            g_walls.append(time.time() - t0)
+        guided_dt = sorted(g_walls)[1]  # median of 3
         detail["guided"] = {
             "kpts": int(kp_a.shape[0] + kp_b.shape[0]), "zoom_depth": 4,
             "both_directions": True, "batching": "multipair",
-            "wall_s": round(guided_dt, 2),
-            "timing": "best-of-2 (time-shared chip; see PERF.md)",
+            **trial_stats(g_walls),
+            "timing": "median of 3 (time-shared chip; see PERF.md)",
             "reference_wall_s_gtx1080ti": 79.0,
             "speedup_vs_reference": round(79.0 / guided_dt, 2)}
         if weights_kind == "trained":
