@@ -14,10 +14,19 @@ import numpy as np
 
 SAMPLE_DIR = "/root/reference/sample_data"
 
+#: the committed flagship weights: demos default to them when present
+#: (reference demos default to the released checkpoint path,
+#: e.g. demo_single_pair.py:51 "--load_weights default.pth.tar")
+FLAGSHIP = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "checkpoints", "flagship.npz")
+
 
 def add_common_args(ap: argparse.ArgumentParser):
-    ap.add_argument("--load_weights_path", default=None,
-                    help="torch .pth(.tar) or orbax checkpoint to load")
+    ap.add_argument("--load_weights_path",
+                    default=FLAGSHIP if os.path.exists(FLAGSHIP) else None,
+                    help="torch .pth(.tar), npz release or orbax checkpoint "
+                         "to load (default: the committed flagship weights "
+                         "when present; pass 'none' for random init)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--max_corrs", type=int, default=100)
@@ -47,7 +56,7 @@ def build_engine(args, mode="tile"):
     # auto-falls-back off-TPU or under dropout
     cfg = COTRConfig(dtype=args.dtype, use_flash_attention=True)
     model = build_model(cfg)
-    if args.load_weights_path:
+    if args.load_weights_path and args.load_weights_path.lower() != "none":
         # torch release file, Trainer payload, or raw orbax init tree
         from cotr_tpu.models.checkpoint_io import load_params
         params = load_params(args.load_weights_path, cfg)

@@ -46,8 +46,14 @@ def test_demo_matches_golden(name, tmp_path):
     got = np.asarray(PIL.Image.open(out).convert("RGB"), np.float32)
     want = np.asarray(PIL.Image.open(golden_path).convert("RGB"), np.float32)
     assert got.shape == want.shape, (got.shape, want.shape)
-    # tolerance: correspondence overlays redraw lines/points; tiny (<1px)
-    # prediction shifts move anti-aliased edges, so compare mean intensity
-    # deviation, not per-pixel equality
-    mad = np.abs(got - want).mean()
+    # localized comparison (VERDICT r3 next #3: a global mean could hide a
+    # visibly different correspondence set): tiny (<1px) prediction shifts
+    # move anti-aliased overlay edges, so allow per-pixel wiggle, but the
+    # FRACTION of clearly-different pixels must stay small
+    diff = np.abs(got - want).max(axis=-1)  # per-pixel channel max
+    frac_off = float((diff > 40).mean())
+    mad = float(diff.mean())
+    assert frac_off < 0.02, (
+        f"{name}: {frac_off * 100:.2f}% of pixels differ by >40/255 "
+        f"(mean dev {mad:.2f})")
     assert mad < 3.0, f"{name}: mean abs pixel deviation {mad:.2f}"
