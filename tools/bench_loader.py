@@ -44,7 +44,8 @@ def _scene_config(root, scene_dir, img_dir, depth_dir, use_ram):
 
 
 def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
-                   use_ram: bool = False, skip_files: bool = False):
+                   use_ram: bool = False, skip_files: bool = False,
+                   scene_name: str = "0001", write_jsons: bool = True):
     """N cameras on a jittered grid viewing a textured slanted plane:
     every neighboring pair shares most of its frustum, so kNN sampling and
     reprojection produce dense valid correspondences like MegaDepth pairs.
@@ -53,10 +54,10 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
     for a scene already on disk — file generation dominates setup on a
     1-core host, so ``--keep`` reuse must not rewrite anything."""
     rng = np.random.RandomState(seed)
-    scene_dir = os.path.join(root, "0001", "dense", "sparse")
-    img_dir = os.path.join(root, "0001", "dense", "imgs")
-    depth_dir = os.path.join(root, "0001", "dense", "depths")
-    dm_dir = os.path.join(root, "0001", "dense", "dist_mat")
+    scene_dir = os.path.join(root, scene_name, "dense", "sparse")
+    img_dir = os.path.join(root, scene_name, "dense", "imgs")
+    depth_dir = os.path.join(root, scene_name, "dense", "depths")
+    dm_dir = os.path.join(root, scene_name, "dense", "dist_mat")
     for d in (scene_dir, img_dir, depth_dir, dm_dir):
         os.makedirs(d, exist_ok=True)
     if skip_files:
@@ -112,13 +113,14 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
                 "# Number of points: 1, mean track length: 1.0\n"
                 f"1 0.0 0.0 {z0} 200 100 50 0.5 {track}\n")
 
-    rel = [f"0001/dense/imgs/{n}" for n in names]
-    with open(os.path.join(root, "valid_list.json"), "w") as f:
-        json.dump(rel, f)
-    with open(os.path.join(root, "train.json"), "w") as f:
-        json.dump(rel, f)
-    with open(os.path.join(root, "val.json"), "w") as f:
-        json.dump(rel[:2], f)
+    rel = [f"{scene_name}/dense/imgs/{n}" for n in names]
+    if write_jsons:
+        with open(os.path.join(root, "valid_list.json"), "w") as f:
+            json.dump(rel, f)
+        with open(os.path.join(root, "train.json"), "w") as f:
+            json.dump(rel, f)
+        with open(os.path.join(root, "val.json"), "w") as f:
+            json.dump(rel[:2], f)
 
     # overlap matrix from grid distance (neighbors overlap most)
     ix = np.arange(n_caps)

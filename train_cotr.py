@@ -190,6 +190,19 @@ def main(argv=None):
                 jax.tree_util.tree_map(jnp.asarray, loaded),
                 trainer.state.opt_state)
             print(f"loaded torch weights: {args.load_weights_path}")
+        else:
+            # npz release / Orbax dir / Trainer payload (cross-stage warm
+            # start, reference --load_weights train_cotr.py:135-139); the
+            # optimizer state starts fresh
+            import jax.numpy as jnp
+            from cotr_tpu.models.checkpoint_io import load_params
+            from cotr_tpu.training.train_step import TrainState
+
+            loaded = jax.tree_util.tree_map(
+                jnp.asarray, load_params(args.load_weights_path, model_cfg))
+            trainer.state = TrainState(
+                trainer.state.step, loaded, trainer.state.opt_state)
+            print(f"loaded weights: {args.load_weights_path}")
 
     resume = args.resume or args.use_cc
     trainer.train(resume=resume)
