@@ -19,8 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--eval_json", default=None,
-                    help="eval_synthetic_pair metrics to embed as provenance")
+    ap.add_argument("--eval_json", action="append", default=None,
+                    help="eval_synthetic_pair metrics to embed as "
+                         "provenance (repeatable: one per held-out eval "
+                         "texture, keyed by image name)")
     ap.add_argument("--out", default="checkpoints/flagship.npz")
     args = ap.parse_args()
 
@@ -40,9 +42,16 @@ def main():
 
     meta = {"source": os.path.abspath(args.ckpt), "format": "npz-bf16",
             "size_mb": round(size_mb, 1)}
-    if args.eval_json and os.path.exists(args.eval_json):
-        with open(args.eval_json) as f:
-            meta["eval"] = json.load(f)
+    evals = {}
+    for pth in (args.eval_json or []):
+        if os.path.exists(pth):
+            with open(pth) as f:
+                e = json.load(f)
+            evals[e.get("image", os.path.basename(pth))] = e
+    if len(evals) == 1:
+        meta["eval"] = next(iter(evals.values()))
+    elif evals:
+        meta["eval"] = evals
     with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     print(json.dumps(meta))
