@@ -39,7 +39,9 @@ def run_stage(cmd, log_path, kill_after_iter=None):
     preemption for the resume proof). Returns (returncode, iters) where
     iters = [(step, train_loss, val_loss), ...]."""
     iters = []
-    pat = re.compile(r"iter (\d+): loss=([0-9.eE+-]+) val=([0-9.eE+-]+)")
+    # val can print as 'nan' (e.g. a val split smaller than the batch
+    # size yields no val batches), so match any token and let float() parse
+    pat = re.compile(r"iter (\d+): loss=(\S+) val=(\S+)")
     with open(log_path, "a") as log:
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True,
@@ -73,6 +75,10 @@ def main():
     ap.add_argument("--stage3_iters", type=int, default=300)
     ap.add_argument("--valid_iter", type=int, default=100)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--enc_layers", type=int, default=6,
+                    help="model depth for the stages (shrink for CPU "
+                         "smokes of the orchestrator itself)")
+    ap.add_argument("--dec_layers", type=int, default=6)
     ap.add_argument("--reuse_scenes", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -126,6 +132,8 @@ def main():
             "--dataset_config", dcfg_path, "--confirm", "no",
             "--dtype", args.dtype, "--valid_iter", str(args.valid_iter),
             "--out_dir", os.path.join(args.out, "runs"),
+            "--enc_layers", str(args.enc_layers),
+            "--dec_layers", str(args.dec_layers),
             "--use_ram", "yes"]
 
     def ckpt_of(suffix):
@@ -145,13 +153,13 @@ def main():
                  "--device_synth", "yes"]
     t0 = time.time()
     rc, it_a = run_stage(s1, log_path,
-                         kill_after_iter=args.stage1_iters // 2)
+                         kill_after_iter=args.valid_iter)
     print(f":: stage 1 leg A rc={rc} iters={len(it_a)} "
           f"({time.time() - t0:.0f}s)", flush=True)
     assert it_a, "stage 1 produced no iterations"
     rc, it_b = run_stage(s1 + ["--resume", "yes"], log_path)
     assert rc == 0, f"stage 1 resume leg failed rc={rc}"
-    assert it_b and it_b[0][0] > it_a[-1][0] >= args.stage1_iters // 2, (
+    assert it_b and it_b[0][0] > it_a[-1][0] >= args.valid_iter, (
         "resume did not continue from the preempted step",
         it_a[-1], it_b[0])
     summary["stages"]["stage1"] = {
