@@ -111,6 +111,8 @@ class TrainConfig:
     batch_size: int = 24
     max_iter: int = 300_000
     valid_iter: int = 1000
+    #: cadence (in steps) of train-loop tensorboard scalars/histograms
+    tb_iter: int = 50
     num_kp: int = 100
     bidirectional: bool = True
     cycle_consis: bool = True
@@ -175,11 +177,21 @@ def build_scenes_name_list(dataset_config: Dict[str, Any],
 
 def check_params_json(path: str, model_cfg: COTRConfig,
                       train_cfg: TrainConfig) -> bool:
-    """Return True iff an existing params.json matches the given configs."""
+    """Return True iff an existing params.json matches the given configs.
+
+    Config fields added after a run was launched are absent from its saved
+    params.json; they are treated as holding the dataclass default instead
+    of refusing an otherwise-identical resume."""
     with open(path) as f:
         old = json.load(f)
     new = {
         "model": dataclasses.asdict(model_cfg),
         "train": dataclasses.asdict(train_cfg),
     }
+    defaults = {"model": dataclasses.asdict(COTRConfig()),
+                "train": dataclasses.asdict(TrainConfig())}
+    for sect in ("model", "train"):
+        if isinstance(old.get(sect), dict):
+            for field, dval in defaults[sect].items():
+                old[sect].setdefault(field, dval)
     return old.get("model") == new["model"] and old.get("train") == new["train"]

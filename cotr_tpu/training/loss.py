@@ -78,5 +78,5 @@ def cotr_loss(model, params, canvas, queries, targets, *,
         cycle_loss = masked_mse((cycle - queries) ** 2, mask)
         loss = loss + cycle_loss
     metrics = {"loss": loss, "corr_loss": corr_loss,
-               "cycle_loss": cycle_loss, "pred": pred}
+               "cycle_loss": cycle_loss, "pred": pred, "target": targets}
     return loss, metrics

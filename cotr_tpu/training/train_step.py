@@ -128,7 +128,7 @@ def make_train_step(model, tx, cfg: TrainConfig,
         in_shardings=(None, bsh, repl),
         out_shardings=(None,
                        {"loss": repl, "corr_loss": repl, "cycle_loss": repl,
-                        "pred": bsh}),
+                        "pred": bsh, "target": bsh}),
         donate_argnums=(0,),
     )
 

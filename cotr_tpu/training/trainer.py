@@ -155,8 +155,8 @@ class Trainer:
                 jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
             out = self._eval_step(self.state.params, jbatch)
             losses.append(float(out["val_loss"]))
-            if first is None and "queries" in batch:
-                # TB corr renderings need host-known queries; the
+            if first is None and "queries" in batch and "targets" in batch:
+                # TB corr renderings need host-known queries/targets; the
                 # device-synth layout synthesizes them inside the step
                 first = (batch, np.asarray(out["pred"]))
         val = float(np.mean(losses)) if losses else float("nan")
@@ -208,7 +208,7 @@ class Trainer:
                     jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 self.state, metrics = self._train_step(self.state, batch, sub)
                 step += 1
-                if self._tb is not None and step % 50 == 0:
+                if self._tb is not None and step % self.cfg.tb_iter == 0:
                     # scalar + pred/target histograms
                     # (reference cotr_trainer.py:156-163)
                     self._tb.add_scalar("loss/train", float(metrics["loss"]),
@@ -217,8 +217,11 @@ class Trainer:
                                         float(metrics["cycle_loss"]), step)
                     self._tb.add_histogram("distribution/pred",
                                            np.asarray(metrics["pred"]), step)
+                    # device-synth batches carry no host 'targets'; the
+                    # jitted step reports the synthesized ones instead
                     self._tb.add_histogram("distribution/target",
-                                           np.asarray(batch["targets"]), step)
+                                           np.asarray(metrics["target"]),
+                                           step)
                 if step % self.cfg.valid_iter == 0:
                     val = self.validate()
                     self.save_checkpoint()

@@ -127,6 +127,49 @@ def test_train_step_accepts_device_synth_layout(synthetic_scene):  # noqa: F811
     state, metrics = step(state, jbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+    # the trainer's TB histograms read the synthesized targets from the
+    # step's metrics (the batch itself carries no host 'targets')
+    assert metrics["target"].shape == metrics["pred"].shape
+
+
+def test_trainer_tb_loop_on_device_synth_layout(synthetic_scene, tmp_path):  # noqa: F811
+    """Regression: the train-loop TB branch and validate() must not read
+    batch['targets'] on the device-synth layout (it has none)."""
+    from cotr_tpu import COTRConfig, TrainConfig, build_model
+    from cotr_tpu.data.dataset import CotrDataset, batch_iterator
+    from cotr_tpu.training import Trainer
+
+    class RecordingTB:
+        def __init__(self):
+            self.calls = []
+
+        def add_scalar(self, tag, *a, **kw):
+            self.calls.append(("scalar", tag))
+
+        def add_histogram(self, tag, *a, **kw):
+            self.calls.append(("histogram", tag))
+
+        def add_image(self, tag, *a, **kw):
+            self.calls.append(("image", tag))
+
+    model_cfg = COTRConfig(enc_layers=1, dec_layers=1)
+    train_cfg = TrainConfig(batch_size=2, max_iter=1, valid_iter=1,
+                            tb_iter=1, num_kp=synthetic_scene["cfg"].num_kp,
+                            learning_rate=1e-4)
+    model = build_model(model_cfg)
+    ds = CotrDataset(synthetic_scene["cfg"], "train", seed=4,
+                     device_synth=True)
+    trainer = Trainer(
+        model, model_cfg, train_cfg,
+        train_loader=lambda: batch_iterator(ds, 2, seed=0),
+        val_loader=lambda: batch_iterator(ds, 2, shuffle=False, seed=0),
+        out_dir=str(tmp_path / "run"), use_tensorboard=False)
+    trainer._tb = RecordingTB()
+    trainer.initialize(next(batch_iterator(ds, 2, seed=0)))
+    state = trainer.train()
+    assert int(state.step) == 1
+    tags = {c[1] for c in trainer._tb.calls}
+    assert "distribution/target" in tags and "loss/val" in tags
 
 
 def test_weighted_loss_ignores_invalid_queries():
