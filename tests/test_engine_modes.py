@@ -62,6 +62,7 @@ class IdentityRunner:
     def __init__(self):
         self.model = IdentityModel()
         self.params = {}
+        self.decode_chunk = 16384  # fused dense path reads this (dense.py)
 
     def encode(self, canvas):
         return jnp.asarray(canvas)

@@ -80,6 +80,11 @@ def main():
                          "smokes of the orchestrator itself)")
     ap.add_argument("--dec_layers", type=int, default=6)
     ap.add_argument("--reuse_scenes", action="store_true")
+    ap.add_argument("--init_weights", default=None,
+                    help="warm-start stage 1 from a published .npz (e.g. "
+                         "checkpoints/flagship.npz) so the held-out EPE "
+                         "reflects a capable model, not 1.3k from-scratch "
+                         "iters; the pipeline proof is identical either way")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "stages.log")
@@ -151,6 +156,9 @@ def main():
                  "--lr_backbone", "1e-4", "--max_iter",
                  str(args.stage1_iters), "--suffix", "gen1",
                  "--device_synth", "yes"]
+    if args.init_weights:
+        s1 += ["--load_weights_path", args.init_weights]
+        summary["init_weights"] = args.init_weights
     t0 = time.time()
     rc, it_a = run_stage(s1, log_path,
                          kill_after_iter=args.valid_iter)
