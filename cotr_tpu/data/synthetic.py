@@ -57,6 +57,47 @@ def _apply_photo_host(img_u8: np.ndarray, gb: np.ndarray) -> np.ndarray:
     return (f * 255.0).astype(np.uint8)
 
 
+def make_procedural_texture(rng: np.random.RandomState,
+                            size: int = 512) -> np.ndarray:
+    """One contour-rich procedural texture (uint8 RGB).
+
+    Multi-octave smooth noise gives scale-diverse structure; random
+    quantization turns a fraction of them into sharp-edged blob fields
+    (smooth noise alone has weak gradients, which under-constrains
+    correspondence). This widens the texture distribution far beyond the
+    handful of sample images available in-environment — the round-3/4
+    accuracy bottleneck was texture diversity, not warp diversity.
+    """
+    acc = np.zeros((size, size, 3), np.float32)
+    amp, total = 1.0, 0.0
+    for cells in (4, 8, 16, 32, 64, 128):
+        octave = rng.rand(cells, cells, 3).astype(np.float32)
+        up = np.asarray(PIL.Image.fromarray(
+            (octave * 255).astype(np.uint8)).resize(
+                (size, size), PIL.Image.BILINEAR), np.float32) / 255.0
+        acc += amp * up
+        total += amp
+        amp *= float(rng.uniform(0.4, 0.7))
+    acc /= total
+    # normalize contrast per channel
+    lo = acc.min(axis=(0, 1), keepdims=True)
+    hi = acc.max(axis=(0, 1), keepdims=True)
+    acc = (acc - lo) / np.maximum(hi - lo, 1e-6)
+    mode = rng.randint(3)
+    if mode == 0:
+        # quantized blob field: sharp iso-contours at random levels
+        levels = rng.randint(3, 9)
+        acc = np.floor(acc * levels) / max(levels - 1, 1)
+    elif mode == 1:
+        # high-contrast sigmoid: edge-like transitions, smooth interiors
+        acc = 1.0 / (1.0 + np.exp(-12.0 * (acc - 0.5)))
+    # mode 2: leave smooth (keeps low-texture regions in distribution)
+    # random affine color mix decorrelates channels
+    mix = rng.uniform(-0.3, 0.3, (3, 3)) + np.eye(3)
+    acc = np.clip(acc @ mix.T, 0.0, 1.0)
+    return (acc * 255.0).astype(np.uint8)
+
+
 class SyntheticHomographyDataset:
     """len() controls epoch size; samples are fully determined by
     (seed, index) so epochs shuffle deterministically."""
@@ -75,7 +116,8 @@ class SyntheticHomographyDataset:
                  max_crop_side: int = 512, device_warp: bool = False,
                  zoom: bool = False, zoom_prob: float = 1.0,
                  rot_deg: float = 0.0, scale_range=None,
-                 photo_jitter: float = 0.0):
+                 photo_jitter: float = 0.0,
+                 proc_textures: int = 0, tex_aug: bool = False):
         if image_paths is None:
             image_paths = [
                 p for p in sorted(
@@ -89,6 +131,15 @@ class SyntheticHomographyDataset:
             if min(img.shape[:2]) >= MAX_SIZE:
                 self.images.append(img)
         assert self.images, "no usable texture images (need >=256px sides)"
+        # widen the texture distribution procedurally (deterministic from
+        # seed; generated once at construction, ~4 ms each)
+        tex_rng = np.random.RandomState(seed * 7_368_787 + 0x5EED)
+        for _ in range(proc_textures):
+            self.images.append(make_procedural_texture(tex_rng))
+        # tex_aug: per-sample channel permutation + flips of the texture
+        # crop (geometry untouched — both frames see the same recolored
+        # texture), multiplying effective texture count by ~24
+        self.tex_aug = tex_aug
         self.length = length
         self.num_kp = num_kp
         self.bidirectional = bidirectional
@@ -172,6 +223,17 @@ class SyntheticHomographyDataset:
         crop = img[y0:y0 + side, x0:x0 + side]
         a = np.array(PIL.Image.fromarray(crop).resize(
             (MAX_SIZE, MAX_SIZE), resample=PIL.Image.BILINEAR))
+        if self.tex_aug:
+            # texture-space augmentation BEFORE the warp: both frames see
+            # the identical recolored/flipped texture, so supervision
+            # geometry is unchanged
+            perm = rng.permutation(3)
+            a = a[:, :, perm]
+            if rng.uniform() < 0.5:
+                a = a[:, ::-1]
+            if rng.uniform() < 0.5:
+                a = a[::-1]
+            a = np.ascontiguousarray(a)
 
         # random perspective: jitter the corners, warp A into B
         s = MAX_SIZE - 1.0

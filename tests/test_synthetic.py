@@ -224,3 +224,55 @@ def test_train_step_accepts_photo_key():
     step = make_train_step(model, tx, cfg)
     state, metrics = step(state, jbatch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_procedural_textures_widen_pool_deterministically():
+    """proc_textures appends seed-deterministic fractal textures; samples
+    drawn from them keep exact-warp supervision (GT is the homography, not
+    the texture)."""
+    from cotr_tpu.data.synthetic import make_procedural_texture
+
+    rng = np.random.RandomState(3)
+    tex = make_procedural_texture(rng, size=256)
+    assert tex.shape == (256, 256, 3) and tex.dtype == np.uint8
+    # contour-rich: gradient energy well above a flat image
+    g = np.abs(np.diff(tex.astype(np.float32), axis=0)).mean()
+    assert g > 1.0, g
+
+    a = SyntheticHomographyDataset(length=4, num_kp=16, seed=9,
+                                   proc_textures=8)
+    b = SyntheticHomographyDataset(length=4, num_kp=16, seed=9,
+                                   proc_textures=8)
+    assert len(a.images) == len(b.images)
+    for ia, ib in zip(a.images[-8:], b.images[-8:]):
+        np.testing.assert_array_equal(ia, ib)
+    s = a[0]
+    assert s["image"].shape == (MAX_SIZE, 2 * MAX_SIZE, 3)
+
+
+def test_tex_aug_preserves_supervision_geometry():
+    """Channel permutation / flips happen in TEXTURE space before the warp:
+    the content-consistency property (targets land on the same content)
+    must keep holding."""
+    from scipy.ndimage import map_coordinates
+
+    ds = SyntheticHomographyDataset(length=6, num_kp=50, seed=2,
+                                    max_corner_jitter=0.1, raw_uint8=False,
+                                    tex_aug=True, proc_textures=4)
+    changed = 0
+    plain = SyntheticHomographyDataset(length=6, num_kp=50, seed=2,
+                                       max_corner_jitter=0.1,
+                                       raw_uint8=False)
+    for i in range(4):
+        s = ds[i]
+        img = s["image"]
+        corrs = s["corrs"] * np.array([512, 256, 512, 256])
+        a_gray = img[:, :256].mean(-1)
+        b_gray = img[:, 256:].mean(-1)
+        va = map_coordinates(a_gray, [corrs[:, 1], corrs[:, 0]], order=1)
+        vb = map_coordinates(b_gray, [corrs[:, 3], corrs[:, 2] - 256],
+                             order=1)
+        assert (np.abs(va - vb) < 0.35).mean() > 0.8
+        if not np.array_equal(s["image"], plain[i]["image"]):
+            changed += 1
+    assert changed >= 2  # augmentation actually applied

@@ -63,6 +63,13 @@ def main():
                     help="with --scale_hi: log-uniform relative scale "
                          "composed into the pair homography")
     ap.add_argument("--scale_hi", type=float, default=0.0)
+    ap.add_argument("--proc_textures", type=int, default=0,
+                    help="procedural fractal-noise textures appended to the "
+                         "real texture pool (the in-env pool is only ~7 "
+                         "images; texture diversity bounds generalization)")
+    ap.add_argument("--tex_aug", action="store_true",
+                    help="per-sample channel permutation + flips of the "
+                         "texture crop (geometry unchanged)")
     ap.add_argument("--photo_jitter", type=float, default=0.0,
                     help="independent per-side photometric gain/bias jitter "
                          "(trains photometric invariance)")
@@ -111,7 +118,8 @@ def main():
     aug = dict(rot_deg=args.rot_deg,
                scale_range=((args.scale_lo, args.scale_hi)
                             if args.scale_lo and args.scale_hi else None),
-               photo_jitter=args.photo_jitter)
+               photo_jitter=args.photo_jitter,
+               proc_textures=args.proc_textures, tex_aug=args.tex_aug)
     train_ds = SyntheticHomographyDataset(length=args.epoch_len,
                                           num_kp=args.num_kp, seed=1,
                                           device_warp=args.device_warp,
