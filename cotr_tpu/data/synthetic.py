@@ -133,7 +133,8 @@ class SyntheticHomographyDataset:
         assert self.images, "no usable texture images (need >=256px sides)"
         # widen the texture distribution procedurally (deterministic from
         # seed; generated once at construction, ~4 ms each)
-        tex_rng = np.random.RandomState(seed * 7_368_787 + 0x5EED)
+        tex_rng = np.random.RandomState((seed * 7_368_787 + 0x5EED)
+                                        % (2 ** 32))
         for _ in range(proc_textures):
             self.images.append(make_procedural_texture(tex_rng))
         # tex_aug: per-sample channel permutation + flips of the texture

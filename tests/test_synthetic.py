@@ -276,3 +276,11 @@ def test_tex_aug_preserves_supervision_geometry():
         if not np.array_equal(s["image"], plain[i]["image"]):
             changed += 1
     assert changed >= 2  # augmentation actually applied
+
+
+def test_procedural_textures_large_seed():
+    """Seeds like the val split's 777 must not overflow RandomState
+    (seed*multiplier is reduced mod 2**32)."""
+    ds = SyntheticHomographyDataset(length=2, num_kp=8, seed=777,
+                                    proc_textures=2)
+    assert ds[0]["image"].shape == (MAX_SIZE, 2 * MAX_SIZE, 3)
