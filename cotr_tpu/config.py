@@ -181,7 +181,11 @@ def check_params_json(path: str, model_cfg: COTRConfig,
 
     Config fields added after a run was launched are absent from its saved
     params.json; they are treated as holding the dataclass default instead
-    of refusing an otherwise-identical resume."""
+    of refusing an otherwise-identical resume. This back-fill is only sound
+    if every NEW config field's declared default equals the behavior old
+    runs implicitly had — when adding a field whose default changes
+    behavior, bump the schema by renaming the field (or record a version
+    key) so the drift gate refuses instead of silently passing."""
     with open(path) as f:
         old = json.load(f)
     new = {

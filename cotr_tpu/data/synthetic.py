@@ -106,8 +106,11 @@ class SyntheticHomographyDataset:
     #: held-out accuracy-eval images (tools/eval_synthetic_pair.py evaluates
     #: on cathedral_1; cathedral_2 is the same scene). Training on them made
     #: the committed eval numbers a texture-level train/test leak (VERDICT r3
-    #: weak #1) — different warps, same pixels.
-    EVAL_TEXTURES = ("cathedral_1.jpg", "cathedral_2.jpg")
+    #: weak #1) — different warps, same pixels. The petrzin PNGs are listed
+    #: even though the default glob only matches *.jpg/*.JPG: the exclusion
+    #: must survive a future glob widening (ADVICE r4).
+    EVAL_TEXTURES = ("cathedral_1.jpg", "cathedral_2.jpg",
+                     "petrzin_01.png", "petrzin_02.png")
 
     def __init__(self, image_paths: Optional[Sequence[str]] = None,
                  length: int = 2048, num_kp: int = 100,

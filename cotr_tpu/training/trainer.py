@@ -208,7 +208,8 @@ class Trainer:
                     jax.tree_util.tree_map(jnp.asarray, batch), self.mesh)
                 self.state, metrics = self._train_step(self.state, batch, sub)
                 step += 1
-                if self._tb is not None and step % self.cfg.tb_iter == 0:
+                if (self._tb is not None and self.cfg.tb_iter > 0
+                        and step % self.cfg.tb_iter == 0):
                     # scalar + pred/target histograms
                     # (reference cotr_trainer.py:156-163)
                     self._tb.add_scalar("loss/train", float(metrics["loss"]),

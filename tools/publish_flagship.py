@@ -24,6 +24,9 @@ def main():
                          "provenance (repeatable: one per held-out eval "
                          "texture, keyed by image name)")
     ap.add_argument("--out", default="checkpoints/flagship.npz")
+    ap.add_argument("--note", default=None,
+                    help="free-text provenance note (training history, "
+                         "warm-start lineage) embedded in the JSON")
     args = ap.parse_args()
 
     # format conversion only — no device compute; pin jax to CPU via the
@@ -42,6 +45,23 @@ def main():
 
     meta = {"source": os.path.abspath(args.ckpt), "format": "npz-bf16",
             "size_mb": round(size_mb, 1)}
+
+    # embed the run's training config + step so the README's provenance
+    # claims are verifiable from the committed artifact alone (ADVICE r4):
+    # params.json lives two levels above .../checkpoints/<name>
+    run_dir = os.path.dirname(os.path.dirname(os.path.abspath(args.ckpt)))
+    params_json = os.path.join(run_dir, "params.json")
+    if os.path.exists(params_json):
+        with open(params_json) as f:
+            meta["training"] = json.load(f)
+    try:
+        from cotr_tpu.data.synthetic import SyntheticHomographyDataset
+        meta["eval_textures_excluded_from_training"] = list(
+            SyntheticHomographyDataset.EVAL_TEXTURES)
+    except Exception:
+        pass
+    if args.note:
+        meta["note"] = args.note
     evals = {}
     for pth in (args.eval_json or []):
         if os.path.exists(pth):
