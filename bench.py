@@ -259,13 +259,62 @@ def main():
         # alone and the batched engine shares every dispatch
         mp_regime(64, 32, [0.5, 0.25], 256, "multipair_dispatch_floor")
 
+    sample = "/root/reference/sample_data"
+
+    # ------------------------------------------- north-star dense grid
+    # the BASELINE "MegaDepth val sweep" regime (BASELINE.md:30): a dense
+    # 256x256 query grid on ONE real pair at zoom depth 3, force=True,
+    # through the public FasterSparseEngine API — the workload the
+    # >=50k q/s/chip target names. Clustered queries pack squads densely,
+    # so the engine knobs shift from the spread defaults: max_load 4096
+    # with the pow2 member ladder (grouped._member_pad) so the first zoom
+    # level rides 4k-member squads while the density-bound deepest level
+    # is not padded up to them.
+    if not args.quick and os.path.isdir(sample):
+        import PIL.Image
+
+        ns_a = np.array(PIL.Image.open(
+            f"{sample}/imgs/cathedral_1.jpg").convert("RGB"))
+        ns_b = np.array(PIL.Image.open(
+            f"{sample}/imgs/cathedral_2.jpg").convert("RGB"))
+        gh, gw = ns_a.shape[:2]
+        lin_x = np.linspace(gw * 0.02, gw * 0.98, 256)
+        lin_y = np.linspace(gh * 0.02, gh * 0.98, 256)
+        gx, gy = np.meshgrid(lin_x, lin_y)
+        ns_q = np.stack([gx.ravel(), gy.ravel()], axis=1)  # 65,536 queries
+        eng_ns = FasterSparseEngine(runner, mode="tile", max_load=4096,
+                                    member_ladder=True)
+
+        def ns_job():
+            return eng_ns.cotr_corr_multiscale(
+                ns_a, ns_b, zoom_ins=zoom_ins, queries_a=ns_q.copy(),
+                force=True, max_corrs=len(ns_q))
+
+        ns_job()  # warm every ladder bucket
+        c0, d0 = eng_ns._stepper.canvas_count, eng_ns._stepper.dispatch_count
+        ns_walls = []
+        for _ in range(3):
+            t0 = time.time()
+            ns_job()
+            ns_walls.append(time.time() - t0)
+        canvases = (eng_ns._stepper.canvas_count - c0) // 3
+        dispatches = (eng_ns._stepper.dispatch_count - d0) // 3
+        ns_dt = sorted(ns_walls)[1]
+        detail["north_star_dense_grid"] = {
+            "queries": len(ns_q), "zoom_depth": len(zoom_ins),
+            "pair": "cathedral (real imagery)", "max_load": 4096,
+            "canvases_per_run": canvases, "dispatches_per_run": dispatches,
+            "canvases_per_s": round(canvases / ns_dt, 1),
+            **trial_stats(ns_walls),
+            "q_s": round(len(ns_q) / ns_dt, 1),
+            "vs_north_star_50k": round(len(ns_q) / ns_dt / 50_000, 3)}
+
     # ------------------------------------------------- guided-matching job
     # the EXACT reference workload (demo_guided_matching.py:36-45 +
     # readme.md:143): the two sample cathedral images (1033x771 / 694x1061,
     # non-square -> 2-patch tiling) with their committed 2048-point DISK
     # keypoint sets, matched both directions at 4 zoom levels, force=True.
     # Reference: ~79 s on a GTX 1080 Ti with FasterSparseEngine.
-    sample = "/root/reference/sample_data"
     if not args.skip_guided and not args.quick and os.path.isdir(sample):
         import PIL.Image
 

@@ -112,6 +112,12 @@ class SparseEngine:
                                     crop_dtype=self.crop_dtype, mesh=mesh)
         self.rng = np.random.RandomState(seed)
         self.total_tasks = 0
+        # opt-in failure diagnostics (tools/diagnose_tail.py): when True,
+        # each cotr_corr_multiscale call stores its tasks' full zoom
+        # histories + conclude verdicts in ``last_diag`` so error tails can
+        # be classified (seed miss vs zoom divergence vs filter miss)
+        self.collect_diagnostics = False
+        self.last_diag = None
 
     @classmethod
     def from_config(cls, runner: ModelRunner, cfg, **kw):
@@ -320,6 +326,16 @@ class SparseEngine:
                                    area_a, area_b, zoom_ins, converge_iters)
         corrs, idx = self._conclude(loc_from, history, ident,
                                     img_a.shape[:2], img_b.shape[:2], force)
+        if self.collect_diagnostics:
+            # what the std/border filters WOULD have kept (force runs skip
+            # them, so the diag re-applies them with force=False)
+            _, kept = self._conclude(loc_from, history, ident,
+                                     img_a.shape[:2], img_b.shape[:2], False)
+            self.last_diag = {
+                "loc_from": loc_from.copy(), "ident": ident.copy(),
+                "history": history.copy(),  # (1 seed + Z levels, T, 2)
+                "area_a": area_a, "area_b": area_b,
+                "kept_by_filters": np.isin(ident, kept)}
         corrs, idx = corrs[:max_corrs], idx[:max_corrs]
         return (corrs, idx) if return_idx else corrs
 
@@ -457,10 +473,21 @@ class FasterSparseEngine(SparseEngine):
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
                  image_bucket: int = 256, seed: int = 0, max_load: int = 256,
-                 mesh=None, crop_dtype=None, safe_area: float = 0.5):
+                 mesh=None, crop_dtype=None, safe_area: float = 0.5,
+                 group_cap: int = 128, group_bucket: int = 8,
+                 member_bucket: int = 64, member_ladder: bool = False):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
                          seed, crop_dtype=crop_dtype, mesh=mesh)
         self.max_load = max_load
+        # dispatch chunking (refine_grouped defaults): group_cap bounds the
+        # canvases per device call (attention buffers scale with it), and the
+        # buckets bound compiled shapes. Dense clustered workloads raise
+        # max_load into the thousands — there group_cap must drop so the
+        # (group_cap, max_load+1, 512) decoder buffers stay inside HBM.
+        self.group_cap = group_cap
+        self.group_bucket = group_bucket
+        self.member_bucket = member_bucket
+        self.member_ladder = member_ladder
         # membership-window fraction of the pilot patch. 0.5 = exact
         # reference semantics (sparse_engine.py:297); larger groups more
         # queries per canvas encode at the price of accuracy near window
@@ -492,7 +519,10 @@ class FasterSparseEngine(SparseEngine):
             self.runner, self._stepper, pyr_a, hw_a, pyr_b, hw_b,
             np.asarray(loc_from, np.float64), np.asarray(loc_to, np.float64),
             s_from, s_to, zoom_ins, self.rng, converge_iters=converge_iters,
-            max_load=self.max_load, safe_area=self.safe_area)
+            max_load=self.max_load, safe_area=self.safe_area,
+            group_cap=self.group_cap, group_bucket=self.group_bucket,
+            member_bucket=self.member_bucket,
+            member_ladder=self.member_ladder)
         self.total_tasks += history.shape[0] * history.shape[1]
         return np.concatenate([np.asarray(loc_to)[None], history], axis=0)
 
@@ -593,7 +623,10 @@ class FasterSparseEngine(SparseEngine):
         hists = refine_grouped_pairs(
             self._stepper, imgs_a_dev, imgs_b_dev, pair_states, zoom_ins,
             converge_iters=converge_iters, max_load=self.max_load,
-            safe_area=self.safe_area)
+            safe_area=self.safe_area, group_cap=self.group_cap,
+            group_bucket=self.group_bucket,
+            member_bucket=self.member_bucket,
+            member_ladder=self.member_ladder)
 
         results = []
         for i, (lf, lt, ident, _, _) in enumerate(seeds):

@@ -34,6 +34,10 @@ from cotr_tpu.ops.sampling import (crop_and_resize_matmul,
 from cotr_tpu.utils.constants import MAX_SIZE
 
 SAFE_AREA = 0.5  # sparse_engine.py:297
+# ladder-mode dispatch budget: canvases x padded-members per device call.
+# Bounds the decoder's (G, M, d) activation footprint while letting
+# small-member chunks still fill the canvas-encode batch.
+CELL_CAP = 32768
 
 
 def window_ladder(size: float, image_min_dim: int, step: int = 64) -> int:
@@ -170,6 +174,10 @@ class GroupedStepper:
         # static-size window first — (H*W)/patch^2 fewer crop FLOPs
         self._step = self._make_step(None, None)
         self._sized_steps = {}
+        # profiling counters (bench north-star breakdown, tail diagnosis):
+        # device calls and padded canvas rows enqueued since construction
+        self.dispatch_count = 0
+        self.canvas_count = 0
 
     def _make_step(self, size_f, size_t):
         model = self.runner.model
@@ -269,6 +277,8 @@ class GroupedStepper:
         key = ("indexed", wf, wt)
         if key not in self._sized_steps:
             self._sized_steps[key] = self._make_step_indexed(wf, wt)
+        self.dispatch_count += 1
+        self.canvas_count += len(boxes_from)
         return self._sized_steps[key](
             self.runner.params, imgs_a, imgs_b,
             jnp.asarray(np.asarray(idx, np.int32)),
@@ -287,16 +297,35 @@ class GroupedStepper:
         boxes_from = np.asarray(boxes_from, np.float32)
         boxes_to = np.asarray(boxes_to, np.float32)
         step = self._step_for(boxes_from, boxes_to)
+        self.dispatch_count += 1
+        self.canvas_count += len(boxes_from)
         return step(
             self.runner.params, img_a, img_b,
             jnp.asarray(boxes_from), jnp.asarray(boxes_to),
             jnp.asarray(queries, jnp.float32))
 
 
+def _member_pad(m_max, max_load, member_bucket, member_ladder):
+    """Padded member-axis size for one dispatch chunk.
+
+    Default discipline: exactly two sizes (member_bucket | max_load+1) so
+    every dispatch hits a precompiled shape. With ``member_ladder`` the pad
+    is the next power of two instead — at most log2 extra compiles (each
+    persistently cached) in exchange for <=2x padding. Dense clustered
+    workloads need this: with max_load in the thousands, the first zoom
+    level packs thousands of members per squad but the deepest level is
+    density-bound at ~100, and two-bucket padding would blow every deep
+    dispatch up to max_load+1."""
+    cap = max(max_load + 1, member_bucket)
+    if not member_ladder:
+        return member_bucket if m_max <= member_bucket else cap
+    return min(max(member_bucket, 1 << (m_max - 1).bit_length()), cap)
+
+
 def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
                        active, scale_f, scale_t, hw_a, hw_b, rng, max_load,
                        group_bucket, member_bucket, group_cap,
-                       safe_area=SAFE_AREA):
+                       safe_area=SAFE_AREA, member_ladder=False):
     """One squad-formation + device dispatch over the ``active`` tasks.
 
     Updates loc_to in place for every active task (each active task belongs
@@ -317,33 +346,48 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
     m_cap = ids_full.shape[1]
 
     # dispatch every chunk first (device queue), materialize afterwards:
-    # squad/query building for chunk k+1 overlaps device compute of chunk k
+    # squad/query building for chunk k+1 overlaps device compute of chunk k.
+    # Ladder mode processes squads in descending member-count order under a
+    # cell budget (g_chunk x m_pad <= CELL_CAP): one zoom level of a dense
+    # grid mixes 4000-member squads with 60-member squads, and a single
+    # (group_cap, max_load+1) shape would either blow HBM or pad the small
+    # squads 60x.
+    order = np.argsort(-counts, kind="stable") if member_ladder \
+        else np.arange(g)
     inflight = []
-    for start in range(0, g, group_cap):
-        end = min(start + group_cap, g)
-        gc = end - start
-        m_max = max(int(counts[start:end].max()), 1)
-        # shape stability: exactly two bucket sizes per axis, so every
-        # possible dispatch hits one of four precompiled shapes — member
-        # counts vary with the squad-formation RNG, and a data-dependent
-        # ladder of shapes caused fresh XLA compiles mid-run
-        m_pad = member_bucket if m_max <= member_bucket \
-            else max(max_load + 1, member_bucket)
-        g_pad = group_bucket if gc <= group_bucket else group_cap
+    start = 0
+    while start < g:
+        if member_ladder:
+            m_pad = _member_pad(max(int(counts[order[start]]), 1),
+                                max_load, member_bucket, True)
+            gc = min(group_cap, max(1, CELL_CAP // m_pad), g - start)
+            g_pad = group_bucket if gc <= group_bucket \
+                else min(1 << (gc - 1).bit_length(), group_cap)
+        else:
+            gc = min(group_cap, g - start)
+            m_max = max(int(counts[order[start:start + gc]].max()), 1)
+            # shape stability: exactly two bucket sizes per axis, so every
+            # possible dispatch hits one of four precompiled shapes — member
+            # counts vary with the squad-formation RNG, and a fully
+            # data-dependent ladder of shapes caused fresh XLA compiles
+            m_pad = _member_pad(m_max, max_load, member_bucket, False)
+            g_pad = group_bucket if gc <= group_bucket else group_cap
+        sel = order[start:start + gc]
+        start += gc
 
         queries = np.zeros((g_pad, m_pad, 2), np.float32)
         member_ids = np.full((g_pad, m_pad), -1, int)
         mc = min(m_cap, m_pad)
-        queries[:gc, :mc] = q_full[start:end, :mc]
-        member_ids[:gc, :mc] = ids_full[start:end, :mc]
+        queries[:gc, :mc] = q_full[sel, :mc]
+        member_ids[:gc, :mc] = ids_full[sel, :mc]
 
         boxes_from = np.zeros((g_pad, 4), np.float32)
         boxes_to = np.zeros((g_pad, 4), np.float32)
         boxes_from[:gc] = np.stack(
-            [x0f_all[start:end], y0f_all[start:end],
+            [x0f_all[sel], y0f_all[sel],
              np.full(gc, sf), np.full(gc, sf)], axis=1)
         boxes_to[:gc] = np.stack(
-            [x0t_all[start:end], y0t_all[start:end],
+            [x0t_all[sel], y0t_all[sel],
              np.full(gc, st), np.full(gc, st)], axis=1)
         # padding boxes keep the level's patch size (position 0,0) so one
         # static window size covers the whole dispatch; results are ignored
@@ -356,8 +400,8 @@ def _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from, loc_to,
                              boxes_to, queries)
         x0t_rows = np.zeros(g_pad)
         y0t_rows = np.zeros(g_pad)
-        x0t_rows[:gc] = x0t_all[start:end]
-        y0t_rows[:gc] = y0t_all[start:end]
+        x0t_rows[:gc] = x0t_all[sel]
+        y0t_rows[:gc] = y0t_all[sel]
         inflight.append((preds_dev, member_ids, x0t_rows, y0t_rows))
 
     for preds_dev, member_ids, x0t_rows, y0t_rows in inflight:
@@ -379,7 +423,7 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
                    rng: np.random.RandomState, converge_iters: int = 1,
                    max_load: int = 256, group_bucket: int = 8,
                    member_bucket: int = 64, group_cap: int = 128,
-                   safe_area: float = SAFE_AREA
+                   safe_area: float = SAFE_AREA, member_ladder: bool = False
                    ) -> np.ndarray:
     """Zoom-major grouped refinement over all tasks.
 
@@ -420,7 +464,8 @@ def refine_grouped(runner, stepper: GroupedStepper, img_a_dev, hw_a,
             _grouped_zoom_step(stepper, img_a_dev, img_b_dev, loc_from,
                                loc_to, active, scale_f, scale_t, hw_a, hw_b,
                                rng, max_load, group_bucket, member_bucket,
-                               group_cap, safe_area=safe_area)
+                               group_cap, safe_area=safe_area,
+                               member_ladder=member_ladder)
             if not is_final:
                 break
             # revisit detection vs iterations 0..it-1 (exact equality,
@@ -444,8 +489,8 @@ def refine_grouped_pairs(stepper: GroupedStepper, imgs_a_dev, imgs_b_dev,
                          pairs: Sequence[dict], zoom_ins: Sequence[float],
                          converge_iters: int = 1, max_load: int = 256,
                          group_bucket: int = 8, member_bucket: int = 64,
-                         group_cap: int = 128, safe_area: float = SAFE_AREA
-                         ) -> list:
+                         group_cap: int = 128, safe_area: float = SAFE_AREA,
+                         member_ladder: bool = False) -> list:
     """Zoom-major grouped refinement over MANY image pairs at once.
 
     The reference engine refines one image pair per call
@@ -547,8 +592,8 @@ def refine_grouped_pairs(stepper: GroupedStepper, imgs_a_dev, imgs_b_dev,
                 end = min(start + group_cap, g_tot)
                 gc = end - start
                 m_max = max(int(counts_all[start:end].max()), 1)
-                m_pad = member_bucket if m_max <= member_bucket \
-                    else max(max_load + 1, member_bucket)
+                m_pad = _member_pad(m_max, max_load, member_bucket,
+                                    member_ladder)
                 g_pad = group_bucket if gc <= group_bucket else group_cap
 
                 queries = np.zeros((g_pad, m_pad, 2), np.float32)

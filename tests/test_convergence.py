@@ -205,3 +205,48 @@ def test_two_level_history_semantics():
     # level 1 converges from there
     expect1 = np.stack([reference_converge(f_loc(s), 4) for s in SEEDS])
     np.testing.assert_array_equal(hist[1], expect1.astype(np.float32))
+
+
+class QueryAwareFakeStepper(TableFakeStepper):
+    """TableFakeStepper plus a per-query offset: catches member/query
+    packing bugs that squad-constant predictions would mask."""
+
+    def __call__(self, img_a, img_b, boxes_from, boxes_to, queries):
+        preds = super().__call__(img_a, img_b, boxes_from, boxes_to, queries)
+        return preds + 0.01 * np.asarray(queries, np.float32)
+
+
+def test_member_ladder_matches_default_chunking():
+    """member_ladder re-orders squads by size and re-chunks dispatches under
+    a cell budget; per-task results must be bit-identical to the two-bucket
+    default (chunk composition only affects padding, never values)."""
+    refiner = BatchRefiner(ModelRunner(TableStubModel(), params={}),
+                           bucket=256)
+    img = coord_image()
+    pyr, hw = refiner.prepare_image(img)
+    rng = np.random.RandomState(7)
+    t = 300
+    loc_from = rng.uniform(20, 490, (t, 2))
+    seeds = rng.uniform(20, 490, (t, 2))
+    kw = dict(converge_iters=2, max_load=64, group_bucket=4,
+              member_bucket=8, group_cap=16)
+    h0 = refine_grouped(None, QueryAwareFakeStepper(), pyr, hw, pyr, hw,
+                        loc_from, seeds.copy(), 1.0, 1.0, [0.7, 0.5],
+                        np.random.RandomState(3), member_ladder=False, **kw)
+    h1 = refine_grouped(None, QueryAwareFakeStepper(), pyr, hw, pyr, hw,
+                        loc_from, seeds.copy(), 1.0, 1.0, [0.7, 0.5],
+                        np.random.RandomState(3), member_ladder=True, **kw)
+    np.testing.assert_array_equal(h0, h1)
+
+
+def test_member_pad_ladder():
+    from cotr_tpu.inference.grouped import _member_pad
+
+    # default: exactly two shapes
+    assert _member_pad(5, 256, 64, False) == 64
+    assert _member_pad(65, 256, 64, False) == 257
+    # ladder: next pow2, floored at member_bucket, capped at max_load+1
+    assert _member_pad(5, 4096, 64, True) == 64
+    assert _member_pad(65, 4096, 64, True) == 128
+    assert _member_pad(1500, 4096, 64, True) == 2048
+    assert _member_pad(4097, 4096, 64, True) == 4097

@@ -20,6 +20,7 @@ def test_affine_from_3pts_exact():
     np.testing.assert_allclose(a, a_true, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_homography_roundtrip():
     rng = np.random.RandomState(1)
     h_true = np.eye(3) + rng.uniform(-0.1, 0.1, (3, 3))
@@ -71,6 +72,7 @@ def test_eight_point_matches_ground_truth_f():
     assert err < 5e-4, err
 
 
+@pytest.mark.slow
 def test_ransac_fundamental_rejects_outliers():
     n_out = 40
     p1, p2, *_ = _two_view_scene(n=200, outliers=n_out)

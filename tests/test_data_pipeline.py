@@ -221,6 +221,7 @@ def test_essential_matrix_epipolar_property():
     assert res.max() < 1e-5, res.max()
 
 
+@pytest.mark.slow
 def test_eval_megadepth_pair_machinery(synthetic_scene):
     """evaluate_pair (eval_megadepth.py) end-to-end on the synthetic COLMAP
     scene with the identity stub engine: GT flow construction, dense query

@@ -108,6 +108,7 @@ def test_device_synth_matches_host_projection(synthetic_scene):  # noqa: F811
             np.testing.assert_array_equal(canvas[bi], s["image"])
 
 
+@pytest.mark.slow
 def test_train_step_accepts_device_synth_layout(synthetic_scene):  # noqa: F811
     from cotr_tpu import COTRConfig, TrainConfig, build_model
     from cotr_tpu.data.dataset import CotrDataset
@@ -132,6 +133,7 @@ def test_train_step_accepts_device_synth_layout(synthetic_scene):  # noqa: F811
     assert metrics["target"].shape == metrics["pred"].shape
 
 
+@pytest.mark.slow
 def test_trainer_tb_loop_on_device_synth_layout(synthetic_scene, tmp_path):  # noqa: F811
     """Regression: the train-loop TB branch and validate() must not read
     batch['targets'] on the device-synth layout (it has none)."""

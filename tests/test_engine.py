@@ -173,11 +173,13 @@ def test_corr_base_identity(stub_runner):
     np.testing.assert_allclose(out[:, 2:], queries, atol=1.0)
 
 
-def test_grouped_engine_identity(stub_runner):
-    """FasterSparseEngine squad path must also recover the identity."""
+@pytest.mark.parametrize("ladder", [False, True])
+def test_grouped_engine_identity(stub_runner, ladder):
+    """FasterSparseEngine squad path must also recover the identity —
+    with both the two-bucket default and the dense-regime member ladder."""
     from cotr_tpu.inference.engine import FasterSparseEngine
     eng = FasterSparseEngine(stub_runner, mode="tile", task_bucket=64,
-                             max_load=64)
+                             max_load=64, member_ladder=ladder)
     rng = np.random.RandomState(4)
     img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
     queries = rng.uniform(30, 480, (48, 2))
@@ -220,6 +222,7 @@ class ContentStubModel(IdentityStubModel):
         return self._map(queries) + (m * self.AMP)[:, None, None]
 
 
+@pytest.mark.slow
 def test_multipair_matches_serial_loop():
     """cotr_corr_multiscale_multipair == N serial cotr_corr_multiscale calls
     with the same per-pair seeds (VERDICT r2 item 2: the batched multi-pair
@@ -257,6 +260,7 @@ def test_multipair_matches_serial_loop():
                                    err_msg=f"pair {k}")
 
 
+@pytest.mark.slow
 def test_cycle_multipair_matches_serial_loop():
     """Bidirectional multipair wrapper == serial per-pair cycle calls with
     the same seeds (VERDICT r2 item 4: both directions batched, parity
@@ -355,3 +359,21 @@ def test_corr_base_many_matches_serial_oracle():
         assert batched[k].shape == expect.shape
         np.testing.assert_allclose(batched[k], expect, atol=1e-4,
                                    err_msg=f"job {k}")
+
+
+def test_collect_diagnostics_hook(stub_runner):
+    """Opt-in diagnostics must expose the full zoom history in task order
+    plus the filters' would-keep verdicts (tools/diagnose_tail.py)."""
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    eng.collect_diagnostics = True
+    rng = np.random.RandomState(4)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    queries = rng.uniform(30, 480, (16, 2))
+    eng.cotr_corr_multiscale(img, img, zoom_ins=[0.5, 0.25], max_corrs=16,
+                             queries_a=queries, force=True)
+    d = eng.last_diag
+    assert d["history"].shape == (3, 16, 2)  # seed + 2 zoom levels
+    assert d["ident"].tolist() == list(range(16))
+    assert d["kept_by_filters"].shape == (16,)
+    # identity stub: refinement stays near the query -> filters keep most
+    assert d["kept_by_filters"].sum() >= 12

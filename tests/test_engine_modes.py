@@ -163,6 +163,7 @@ def test_engine_identity_nonsquare(nonsquare_image, engine_cls, mode):
     np.testing.assert_array_equal(np.sort(idx), np.arange(12))
 
 
+@pytest.mark.slow
 def test_safe_area_knob_groups_more_and_stays_exact(nonsquare_image):
     """safe_area > 0.5 (production knob; reference hardcodes 0.5) must form
     FEWER squads (more members per canvas encode) and, for the identity

@@ -45,6 +45,7 @@ def test_roundtrip_conversion(small_cfg, flax_model_and_params):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
+@pytest.mark.slow
 def test_forward_parity_with_torch_oracle(small_cfg, flax_model_and_params):
     model, params = flax_model_and_params
     oracle = TorchCOTR(enc=small_cfg.enc_layers, dec=small_cfg.dec_layers)

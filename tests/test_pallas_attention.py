@@ -28,6 +28,7 @@ def test_flash_attention_matches_einsum(lq):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_flag_runs_with_flash_disabled_fallback():
     """use_flash on CPU falls through cleanly when interpret-mode isn't
     requested only if the flag stays off — verify the flag plumbs through

@@ -26,6 +26,9 @@ from cotr_tpu.models.torch_convert import (flax_to_torch_state_dict,
                                            torch_state_dict_to_flax)
 from tests.ref_loader import build_reference_model, load_reference
 
+# the reference-code parity batch takes minutes: slow tier (run with -m slow)
+pytestmark = pytest.mark.slow
+
 ENC, DEC = 2, 2  # reduced depth: full resnet50 backbone, faster transformer
 
 

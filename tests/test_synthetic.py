@@ -1,6 +1,7 @@
 """Synthetic homography dataset: shapes, determinism, GT consistency."""
 
 import numpy as np
+import pytest
 
 from cotr_tpu.data.synthetic import SyntheticHomographyDataset
 from cotr_tpu.utils.constants import MAX_SIZE
@@ -71,6 +72,7 @@ def test_device_warp_matches_host_warp():
         assert err < 0.02, f"sample {i}: canvas mismatch {err}"
 
 
+@pytest.mark.slow
 def test_train_step_accepts_crop_layout():
     """One jitted train step on the {crop, h_mat} batch layout."""
     import jax
@@ -94,6 +96,7 @@ def test_train_step_accepts_crop_layout():
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_zoom_mode_content_consistency():
     """Zoom-crop pairs (stage-3 analog) must still put corresponding CONTENT
     at the labeled points, across the whole zoom ladder, and must differ
@@ -168,6 +171,7 @@ def test_rot_scale_augmentation_content_consistency():
     assert changed >= 3
 
 
+@pytest.mark.slow
 def test_photo_jitter_host_device_twins_agree():
     """Photometric jitter: host-path pixels must match the device-path
     canvas (canvas_from_crops_and_homographies with `photo`), and the
@@ -203,6 +207,7 @@ def test_photo_jitter_host_device_twins_agree():
     assert jitted >= 2  # jitter actually applied
 
 
+@pytest.mark.slow
 def test_train_step_accepts_photo_key():
     """One jitted train step on the {crop, h_mat, photo} layout."""
     import jax
@@ -226,6 +231,7 @@ def test_train_step_accepts_photo_key():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_procedural_textures_widen_pool_deterministically():
     """proc_textures appends seed-deterministic fractal textures; samples
     drawn from them keep exact-warp supervision (GT is the homography, not

@@ -103,6 +103,7 @@ def test_train_step_8dev_mesh_decreases_loss():
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_checkpoint_io_loads_trainer_and_raw_layouts(tmp_path):
     """checkpoint_io.load_params must consume both a Trainer payload
     ({version, step, params, opt_state}) and a raw model.init tree — the
