@@ -63,26 +63,61 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
     if skip_files:
         return _scene_config(root, scene_dir, img_dir, depth_dir, use_ram)
 
-    # one shared texture so crops look image-like (smooth upsampled noise)
-    tex = np.asarray(PIL.Image.fromarray(
-        rng.randint(0, 255, (64, 64, 3), np.uint8)).resize(
-            (w, h), PIL.Image.BILINEAR))
+    # World-space procedural texture on a slanted plane z = z0 + a*Yw,
+    # RENDERED through each capture's camera: image content obeys the scene
+    # geometry, so reprojection supervision is learnable from pixels (the
+    # round-4 generator pasted one shared pixel-space texture into every
+    # capture — content did not move with the camera, making the targets
+    # unlearnable noise; stage-2 training could only memorize).
+    from cotr_tpu.data.synthetic import make_procedural_texture
 
     names = [f"img_{i:04d}.jpg" for i in range(n_caps)]
     z0 = 3.0
-    yy = np.arange(h, dtype=np.float32)[:, None]
+    a_slope = 0.1  # mild slant about the X axis -> depth varies per row
+    f_len = 0.9 * w
+    cx, cy = w / 2.0, h / 2.0
+    side = int(np.ceil(np.sqrt(n_caps)))
+    # camera grid (COLMAP T = -R C with R = I, so center C = -(tx, ty, 0));
+    # positions drawn FIRST so rendering and images.txt share them
+    ix = np.arange(n_caps)
+    txs = 0.12 * (ix % side - side / 2) + rng.uniform(-0.02, 0.02, n_caps)
+    tys = 0.12 * (ix // side - side / 2) + rng.uniform(-0.02, 0.02, n_caps)
+
+    tex_size = 1024
+    tex = make_procedural_texture(rng, size=tex_size).astype(np.float32)
+    # world extent every camera's frustum (plus the grid span) fits into
+    ext = (z0 + a_slope) / f_len * max(h, w) * 0.75 + 0.12 * side / 2 + 0.5
+
+    xs = (np.arange(w, dtype=np.float64) - cx) / f_len          # (w,)
+    ys = (np.arange(h, dtype=np.float64) - cy) / f_len          # (h,)
     for i, name in enumerate(names):
-        img = np.clip(tex.astype(np.int16) +
-                      rng.randint(-20, 20, (h, w, 3)), 0, 255).astype(np.uint8)
+        cxw, cyw = -txs[i], -tys[i]
+        # ray-plane intersection: t = (z0 + a*cyw) / (1 - a*(y-cy)/f)
+        t = (z0 + a_slope * cyw) / (1.0 - a_slope * ys)[:, None]  # (h, 1)
+        t = np.broadcast_to(t, (h, w))
+        xw = cxw + t * xs[None, :]
+        yw = cyw + t * ys[:, None]
+        u = (xw + ext) / (2 * ext) * (tex_size - 1)
+        v = (yw + ext) / (2 * ext) * (tex_size - 1)
+        u0 = np.clip(np.floor(u).astype(int), 0, tex_size - 2)
+        v0 = np.clip(np.floor(v).astype(int), 0, tex_size - 2)
+        fu = np.clip(u - u0, 0, 1)[..., None]
+        fv = np.clip(v - v0, 0, 1)[..., None]
+        img = (tex[v0, u0] * (1 - fu) * (1 - fv) +
+               tex[v0, u0 + 1] * fu * (1 - fv) +
+               tex[v0 + 1, u0] * (1 - fu) * fv +
+               tex[v0 + 1, u0 + 1] * fu * fv)
+        # mild per-capture photometric variation + sensor noise (does not
+        # move content, trains photometric robustness)
+        img = img * rng.uniform(0.9, 1.1, (1, 1, 3)) + rng.uniform(-8, 8)
+        img = np.clip(img + rng.randint(-6, 6, (h, w, 3)), 0,
+                      255).astype(np.uint8)
         PIL.Image.fromarray(img).save(os.path.join(img_dir, name),
-                                      quality=90)
-        # slightly slanted plane -> depth varies per row (real float maps)
-        depth = np.broadcast_to(z0 + 0.3 * yy / h, (h, w)).astype(np.float32)
+                                      quality=92)
         with h5py.File(os.path.join(
                 depth_dir, os.path.splitext(name)[0] + ".h5"), "w") as f:
-            f.create_dataset("depth", data=depth)
+            f.create_dataset("depth", data=t.astype(np.float32))
 
-    f_len = 0.9 * w
     with open(os.path.join(scene_dir, "cameras.txt"), "w") as f:
         f.write("# Camera list with one line of data per camera:\n"
                 "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
@@ -95,12 +130,12 @@ def generate_scene(root: str, n_caps: int, h: int, w: int, seed: int = 0,
         "#   POINTS2D[] as (X, Y, POINT3D_ID)\n",
         f"# Number of images: {n_caps}, mean observations per image: 1.0\n",
     ]
-    side = int(np.ceil(np.sqrt(n_caps)))
     for i, name in enumerate(names):
-        tx = 0.12 * (i % side - side / 2) + rng.uniform(-0.02, 0.02)
-        ty = 0.12 * (i // side - side / 2) + rng.uniform(-0.02, 0.02)
-        lines.append(f"{i + 1} 1.0 0.0 0.0 0.0 {tx:.4f} {ty:.4f} 0.0 1 "
-                     f"{name}\n")
+        # the exact positions the captures were rendered from (full float
+        # precision: a 1e-4 pose truncation is a multi-pixel reprojection
+        # error at f ~ 0.9w)
+        lines.append(f"{i + 1} 1.0 0.0 0.0 0.0 {txs[i]:.10f} "
+                     f"{tys[i]:.10f} 0.0 1 {name}\n")
         lines.append(f"10 10 1\n")  # every capture observes point 1
     with open(os.path.join(scene_dir, "images.txt"), "w") as f:
         f.write("".join(lines))

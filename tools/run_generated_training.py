@@ -66,8 +66,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/gen_md")
     ap.add_argument("--out", default="out/gen_training")
-    ap.add_argument("--train_caps", type=int, default=400)
+    ap.add_argument("--train_caps", type=int, default=400,
+                    help="captures PER TRAIN SCENE")
     ap.add_argument("--val_caps", type=int, default=100)
+    ap.add_argument("--train_scenes", type=int, default=1,
+                    help="disjoint train scenes (each its own procedural "
+                         "plane texture); texture diversity across scenes "
+                         "is what makes the held-out scene's val loss fall "
+                         "instead of memorizing one texture")
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--stage1_iters", type=int, default=600)
@@ -91,20 +97,24 @@ def main():
 
     from tools.bench_loader import generate_scene
 
-    # ---- two disjoint scenes under one root (path-prefix matching needs a
-    # shared root; scene 0002 is the held-out eval scene)
+    # ---- N disjoint train scenes + one held-out val scene under one root
+    # (path-prefix matching needs a shared root); each scene renders its own
+    # procedural plane texture (generate_scene seed)
     t0 = time.time()
+    train_names = [f"{i + 1:04d}" for i in range(args.train_scenes)]
+    val_name = f"{args.train_scenes + 1:04d}"
     skip = args.reuse_scenes and os.path.exists(
-        os.path.join(args.root, "0002"))
-    generate_scene(args.root, args.train_caps, args.height, args.width,
-                   seed=0, scene_name="0001", write_jsons=False,
-                   skip_files=skip)
+        os.path.join(args.root, val_name))
+    for i, sn in enumerate(train_names):
+        generate_scene(args.root, args.train_caps, args.height, args.width,
+                       seed=i, scene_name=sn, write_jsons=False,
+                       skip_files=skip)
     generate_scene(args.root, args.val_caps, args.height, args.width,
-                   seed=7, scene_name="0002", write_jsons=False,
+                   seed=777, scene_name=val_name, write_jsons=False,
                    skip_files=skip)
-    rel_a = [f"0001/dense/imgs/img_{i:04d}.jpg"
-             for i in range(args.train_caps)]
-    rel_b = [f"0002/dense/imgs/img_{i:04d}.jpg"
+    rel_a = [f"{sn}/dense/imgs/img_{i:04d}.jpg"
+             for sn in train_names for i in range(args.train_caps)]
+    rel_b = [f"{val_name}/dense/imgs/img_{i:04d}.jpg"
              for i in range(args.val_caps)]
     with open(os.path.join(args.root, "valid_list.json"), "w") as f:
         json.dump(rel_a + rel_b, f)
@@ -117,7 +127,7 @@ def main():
             {"scene_dir": os.path.join(args.root, sn, "dense", "sparse"),
              "image_dir": os.path.join(args.root, sn, "dense", "imgs"),
              "depth_dir": os.path.join(args.root, sn, "dense", "depths")}
-            for sn in ("0001", "0002")],
+            for sn in train_names + [val_name]],
         "valid_list_json": os.path.join(args.root, "valid_list.json"),
         "train_json": os.path.join(args.root, "train.json"),
         "val_json": os.path.join(args.root, "val.json"),
@@ -128,8 +138,11 @@ def main():
         json.dump(dcfg, f, indent=1)
     print(f":: scenes ready in {time.time() - t0:.0f}s", flush=True)
 
-    summary = {"scenes": {"train_caps": args.train_caps,
+    summary = {"scenes": {"train_scenes": args.train_scenes,
+                          "train_caps_per_scene": args.train_caps,
                           "val_caps": args.val_caps,
+                          "rendered": "world-texture projected through "
+                                      "cameras (content-consistent)",
                           "hw": [args.height, args.width]},
                "stages": {}}
     py = sys.executable
