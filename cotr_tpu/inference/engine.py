@@ -118,6 +118,9 @@ class SparseEngine:
         # be classified (seed miss vs zoom divergence vs filter miss)
         self.collect_diagnostics = False
         self.last_diag = None
+        # zoom scale for cycle_select's reverse check (None = the schedule's
+        # coarsest level); see _cycle_select
+        self.cycle_zoom = None
 
     @classmethod
     def from_config(cls, runner: ModelRunner, cfg, **kw):
@@ -271,11 +274,46 @@ class SparseEngine:
 
     # --------------------------------------------------------------- conclude
 
+    def _cycle_select(self, img_a, img_b, loc_from, history, area_a, area_b,
+                      check_zoom):
+        """Per-query candidate selection by cycle error (TPU-native extension
+        beyond reference parity; OFF by default — see ``cycle_select``).
+
+        The zoom history holds C = 1 seed + Z per-level estimates per query.
+        A diverged refinement walk (final estimate WORSE than its seed —
+        tools/diagnose_tail.py classifies ~24% of eval queries this way) is
+        invisible to the reference's std filter under force=True. Ground
+        truth is unavailable, but cycle consistency is a usable proxy: batch
+        ONE reverse pass (b->a) with all C*T candidates as source points and
+        the a-side crop centered at the KNOWN query point; a candidate whose
+        content does not correspond to the query's neighborhood reverse-maps
+        far from it. Returns (selected (T, 2), cycle_err (C, T)).
+
+        Cost: one extra zoom level with C*T tasks through the engine's own
+        refinement machinery (grouped or scan — whichever subclass runs)."""
+        hist = np.asarray(history, np.float64)
+        c, t = hist.shape[0], hist.shape[1]
+        cands = hist.reshape(c * t, 2)
+        back0 = np.tile(np.asarray(loc_from, np.float64), (c, 1))
+        # reverse direction: source = img_b at the candidate, target crop in
+        # img_a centered at the original query (areas swapped accordingly)
+        rev = self._refine_all(img_b, img_a, cands, back0, area_b, area_a,
+                               [float(check_zoom)], 1)
+        cyc = np.linalg.norm(rev[-1] - back0, axis=1).reshape(c, t)
+        # a candidate outside img_b (a marginally-out-of-frame dense seed)
+        # must never be selected over an in-frame one: the final zoom level
+        # is always in-frame (crops clamp), so a fallback always exists
+        hb, wb = img_b.shape[:2]
+        oob = ((hist[..., 0] < 0) | (hist[..., 0] >= wb)
+               | (hist[..., 1] < 0) | (hist[..., 1] >= hb))
+        sel = np.where(oob, np.inf, cyc).argmin(axis=0)
+        return hist[sel, np.arange(t)], cyc
+
     def _conclude(self, loc_from, history, ident, img_a_shape, img_b_shape,
-                  force):
+                  force, best_override=None):
         """std filter (refinement_task.py:184-188) + border filter
         (sparse_engine.py:58-84), vectorized."""
-        best = history[-1]
+        best = history[-1] if best_override is None else best_override
         corrs = np.concatenate([loc_from, best], axis=1)
         keep = np.ones(len(corrs), bool)
         if not force:
@@ -294,13 +332,19 @@ class SparseEngine:
                              queries_a: Optional[np.ndarray] = None,
                              return_idx: bool = False, force: bool = False,
                              areas: Optional[Sequence[float]] = None,
-                             _dense=None):
+                             cycle_select: bool = False, _dense=None):
         """Reference API (sparse_engine.py:197-233): multiscale sparse
         correspondence a->b. Returns (max_corrs, 4) [x_a, y_a, x_b, y_b]
         (+ query indices with return_idx). ``_dense``: precomputed seed
         fields (the cycle wrapper batches both directions' dense passes
         through one device call; the fields depend only on the images, so
-        precomputing changes nothing)."""
+        precomputing changes nothing).
+
+        ``cycle_select`` (default False = exact reference semantics): score
+        every query's zoom-history candidates (seed + per-level estimates)
+        by one batched reverse cycle check and return the per-query argmin
+        instead of the final level — recovers force=True queries whose
+        refinement walk diverged (see ``_cycle_select``)."""
         img_a = np.asarray(img_a)
         img_b = np.asarray(img_b)
         if queries_a is not None:
@@ -324,8 +368,14 @@ class SparseEngine:
 
         history = self._refine_all(img_a, img_b, loc_from, loc_to,
                                    area_a, area_b, zoom_ins, converge_iters)
+        best_override, cyc = None, None
+        if cycle_select:
+            best_override, cyc = self._cycle_select(
+                img_a, img_b, loc_from, history, area_a, area_b,
+                self.cycle_zoom if self.cycle_zoom else zoom_ins[0])
         corrs, idx = self._conclude(loc_from, history, ident,
-                                    img_a.shape[:2], img_b.shape[:2], force)
+                                    img_a.shape[:2], img_b.shape[:2], force,
+                                    best_override=best_override)
         if self.collect_diagnostics:
             # what the std/border filters WOULD have kept (force runs skip
             # them, so the diag re-applies them with force=False)
@@ -336,6 +386,9 @@ class SparseEngine:
                 "history": history.copy(),  # (1 seed + Z levels, T, 2)
                 "area_a": area_a, "area_b": area_b,
                 "kept_by_filters": np.isin(ident, kept)}
+            if cycle_select:
+                self.last_diag["cycle_err"] = cyc      # (C, T)
+                self.last_diag["selected"] = best_override.copy()
         corrs, idx = corrs[:max_corrs], idx[:max_corrs]
         return (corrs, idx) if return_idx else corrs
 

@@ -377,3 +377,76 @@ def test_collect_diagnostics_hook(stub_runner):
     assert d["kept_by_filters"].shape == (16,)
     # identity stub: refinement stays near the query -> filters keep most
     assert d["kept_by_filters"].sum() >= 12
+
+
+def test_cycle_select_recovers_diverged_tasks(stub_runner):
+    """cycle_select must pick, per query, the history row with the smallest
+    reverse cycle error. The reverse pass is faked with a content-aware
+    oracle (the identity stub is content-blind: a wrong candidate's patch
+    still reverse-maps to the a-crop center, so it cannot discriminate);
+    the oracle reverse-maps every candidate to its true preimage, making
+    cycle error == candidate error, so argmin must recover the accurate row
+    regardless of position (seed or final)."""
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    rng = np.random.RandomState(5)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    loc_from = rng.uniform(60, 450, (8, 2))
+    good = loc_from.copy()                       # identity ground truth
+    bad = good + np.array([80.0, -60.0])         # diverged final estimate
+    history = np.stack([good, bad], axis=0)      # (C=2, T, 2)
+    # mix rows so the accurate candidate is NOT always first (no tie help)
+    swap = np.arange(8) % 2 == 1
+    history[0, swap], history[1, swap] = bad[swap], good[swap]
+
+    def oracle_refine_all(img_a, img_b, lf, lt, aa, ab, zi, ci):
+        # reverse pass oracle: candidate at its true preimage + its error
+        pred_a = np.asarray(lt) + (np.asarray(lf) - np.tile(good, (2, 1)))
+        return np.stack([np.asarray(lt), pred_a], axis=0)
+
+    eng._refine_all = oracle_refine_all
+    sel, cyc = eng._cycle_select(img, img, loc_from, history,
+                                 512 * 512, 512 * 512, 0.5)
+    assert cyc.shape == (2, 8)
+    np.testing.assert_allclose(sel, good, atol=1e-9)
+    # per-query: the corrupted candidate's cycle error dominates
+    assert (cyc.max(axis=0) > cyc.min(axis=0) + 10).all()
+
+
+def test_cycle_select_never_picks_out_of_frame_candidate(stub_runner):
+    """An out-of-frame candidate (e.g. a marginally-out-of-image dense seed)
+    must lose the selection even when its cycle error is smallest."""
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    rng = np.random.RandomState(7)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    loc_from = rng.uniform(60, 450, (4, 2))
+    inframe = loc_from.copy()
+    outframe = inframe.copy()
+    outframe[:, 0] = -3.0                          # x just outside img_b
+    history = np.stack([outframe, inframe], axis=0)
+
+    def oracle_refine_all(img_a, img_b, lf, lt, aa, ab, zi, ci):
+        # give the OOB row (first half of the flattened candidates) a
+        # perfect cycle error and the in-frame row a small nonzero one
+        pred_a = np.asarray(lt).copy()
+        pred_a[4:] += 2.0
+        return np.stack([np.asarray(lt), pred_a], axis=0)
+
+    eng._refine_all = oracle_refine_all
+    sel, cyc = eng._cycle_select(img, img, loc_from, history,
+                                 512 * 512, 512 * 512, 0.5)
+    assert (cyc[0] < cyc[1]).all()                 # OOB row "wins" on error
+    np.testing.assert_allclose(sel, inframe, atol=1e-9)  # ...but is rejected
+
+
+def test_cycle_select_end_to_end_no_harm(stub_runner):
+    """With an accurate model, cycle_select must not disturb results."""
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    rng = np.random.RandomState(6)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    queries = rng.uniform(30, 480, (16, 2))
+    kw = dict(zoom_ins=[0.5, 0.25], max_corrs=16, queries_a=queries,
+              force=True)
+    ref = eng.cotr_corr_multiscale(img, img, **kw)
+    out = eng.cotr_corr_multiscale(img, img, cycle_select=True, **kw)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out[:, 2:], out[:, :2], atol=1.5)

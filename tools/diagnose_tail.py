@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--tail_px", type=float, default=5.0)
     ap.add_argument("--zoom_depth", type=int, default=4)
+    ap.add_argument("--cycle_select", action="store_true",
+                    help="enable the engine's cycle-scored candidate "
+                         "selection and classify its OUTPUTS (what-if "
+                         "measurement of the round-5 divergence fix)")
     ap.add_argument("--engine", default="faster", choices=["faster", "base"],
                     help="faster = grouped squads (production eval config); "
                          "base = per-task crops (isolates grouping effects)")
@@ -121,11 +125,17 @@ def main():
 
             engine.cotr_corr_multiscale(
                 img_a, img_b, zoom_ins=zoom_ins, converge_iters=1,
-                max_corrs=len(queries), queries_a=queries.copy(), force=True)
+                max_corrs=len(queries), queries_a=queries.copy(), force=True,
+                cycle_select=args.cycle_select)
             d = engine.last_diag
             # histories are task-ordered; force=True keeps task order ==
             # query order (ident = arange)
             hist = d["history"]                       # (1+Z, T, 2)
+            if args.cycle_select:
+                # classify the SELECTED outputs: append them as the row the
+                # tail metrics read (the raw history stays for seed/level
+                # context)
+                hist = np.concatenate([hist, d["selected"][None]], axis=0)
             epes = np.linalg.norm(hist - gt[None], axis=2)  # (1+Z, T)
             # first zoom level's patch half-size on the TARGET side: the
             # refiner crops the b patch centered at the seed, so a seed
@@ -174,6 +184,7 @@ def main():
     tail = [r for r in rows if r["final_epe"] > args.tail_px]
     report = {
         "ckpt": os.path.abspath(args.ckpt), "engine": args.engine,
+        "cycle_select": args.cycle_select,
         "tail_px": args.tail_px, "queries": len(rows),
         "pooled": {"median": round(float(np.median(all_final)), 2),
                    "p90": round(float(np.percentile(all_final, 90)), 2),

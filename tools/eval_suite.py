@@ -74,6 +74,12 @@ def main():
     ap.add_argument("--max_load", type=int, default=256)
     ap.add_argument("--zoom_depth", type=int, default=4)
     ap.add_argument("--converge_iters", type=int, default=1)
+    ap.add_argument("--cycle_select", action="store_true",
+                    help="engine-side cycle-scored candidate selection "
+                         "(engine.cotr_corr_multiscale(cycle_select=True)): "
+                         "replaces diverged force=True outputs with the "
+                         "best zoom-history candidate by reverse cycle "
+                         "error (tools/diagnose_tail.py round-5 fix)")
     ap.add_argument("--bootstrap", type=int, default=2000)
     ap.add_argument("--out", default="out/eval_suite")
     args = ap.parse_args()
@@ -138,7 +144,8 @@ def main():
         corrs = engine.cotr_corr_multiscale(
             img_a, img_b, zoom_ins=zoom_ins,
             converge_iters=args.converge_iters,
-            max_corrs=len(queries), queries_a=queries.copy(), force=True)
+            max_corrs=len(queries), queries_a=queries.copy(), force=True,
+            cycle_select=args.cycle_select)
         return np.linalg.norm(corrs[:, 2:] - gt, axis=1)
 
     import time
@@ -185,7 +192,7 @@ def main():
             "pck@5px": round(float((sub < 5).mean()), 4)}
 
     stats = {
-        "suite": "eval_suite_v1",
+        "suite": "eval_suite_v1", "cycle_select": args.cycle_select,
         "ckpt": os.path.abspath(args.ckpt),
         "side": side, "zoom_depth": len(zoom_ins),
         "textures": list(textures.keys()), "seeds": seeds,
