@@ -211,7 +211,8 @@ def main():
     # per-pair jobs. Serially each pair pays the dense pass + underfilled
     # squad dispatches alone; the multipair engine shares every dispatch.
     if not args.quick:
-        def mp_regime(n_pairs_mp, q_per_pair, zooms_mp, side, key):
+        def mp_regime(n_pairs_mp, q_per_pair, zooms_mp, side, key,
+                      seed_stride=1):
             """Batched-vs-serial multipair delta for one workload regime."""
             mp_imgs = [(imr.randint(0, 255, (side, side, 3), dtype=np.uint8),
                         imr.randint(0, 255, (side, side, 3), dtype=np.uint8))
@@ -219,7 +220,8 @@ def main():
             mp_queries = [imr.uniform(8, side - 8, (q_per_pair, 2)
                                       ).astype(np.float64)
                           for _ in range(n_pairs_mp)]
-            eng_mp = FasterSparseEngine(runner, mode="tile")
+            eng_mp = FasterSparseEngine(runner, mode="tile",
+                                        seed_stride=seed_stride)
 
             def mp_job():
                 eng_mp.cotr_corr_multiscale_multipair(
@@ -250,6 +252,7 @@ def main():
                 "wall_s": round(mp_dt, 2),
                 "serial_wall_s": round(mp_serial_dt, 2),
                 "speedup_vs_serial": round(mp_serial_dt / mp_dt, 2),
+                "seed_stride": seed_stride,
                 "q_s": round(n_pairs_mp * q_per_pair / mp_dt, 1)}
 
         # balanced regime (BASELINE config 5: N modest per-pair jobs)
@@ -257,7 +260,12 @@ def main():
         # dispatch-floor regime (VERDICT r3 next #5): many SMALL jobs, where
         # each serial call pays the dense pass + per-zoom dispatch floor
         # alone and the batched engine shares every dispatch
-        mp_regime(64, 32, [0.5, 0.25], 256, "multipair_dispatch_floor")
+        # seed_stride 4: with 32 queries/pair the full 131k-query seed
+        # grid was 82% of wall (evals/triage_multipair_r5.json) — a 4x4-
+        # subsampled seed grid is still 128x denser than the queries it
+        # seeds, and the zoom levels re-refine every seed
+        mp_regime(64, 32, [0.5, 0.25], 256, "multipair_dispatch_floor",
+                  seed_stride=4)
 
     sample = "/root/reference/sample_data"
 

@@ -72,16 +72,24 @@ def full_grid_queries(h: int = MAX_SIZE, w: int = 2 * MAX_SIZE) -> np.ndarray:
     return grid.reshape(-1, 2).astype(np.float32)
 
 
-def _make_fused_dense(runner: ModelRunner):
+def _make_fused_dense(runner: ModelRunner, stride: int = 1):
+    """Fused dense pass at a grid ``stride``: stride 1 decodes the
+    reference's full 131,072-query grid (inference_helper.py:117-121);
+    stride s decodes a (256/s, 512/s) subgrid — 1/s² of the decode FLOPs —
+    and bilinearly upsamples corr+confidence back to full resolution on
+    device. Seeding workloads with few queries per pair (the multipair
+    dispatch-floor regime, where the full-grid decode was 82% of wall —
+    evals/triage_multipair_r5.json) use stride > 1; the public dense_flow
+    stays stride 1 for exact reference parity."""
     model = runner.model
     chunk = runner.decode_chunk
-    h, w = MAX_SIZE, 2 * MAX_SIZE
+    h, w = MAX_SIZE // stride, 2 * MAX_SIZE // stride
 
     @jax.jit
     def fn(params, canvas):
         b = canvas.shape[0]
-        queries = jnp.broadcast_to(jnp.asarray(full_grid_queries())[None],
-                                   (b, h * w, 2))
+        queries = jnp.broadcast_to(
+            jnp.asarray(full_grid_queries(h, w))[None], (b, h * w, 2))
         memory = model.apply(params, canvas, method="encode")
         k = -(-(h * w) // chunk)
         pad = k * chunk - h * w
@@ -105,16 +113,28 @@ def _make_fused_dense(runner: ModelRunner):
 
         # remap x to per-image [-1, 1]: left-half queries predict into
         # image b, right-half into image a (inference_helper.py:142-143)
+        half = MAX_SIZE // stride
         corr_x = jnp.concatenate([
-            out_grid[:, :, :MAX_SIZE, 0] * 2 - 1,
-            out_grid[:, :, MAX_SIZE:, 0] * 2 + 1,
+            out_grid[:, :, :half, 0] * 2 - 1,
+            out_grid[:, :, half:, 0] * 2 + 1,
         ], axis=2)
-        return jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
+        out = jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
+        if stride > 1:
+            # upsample the two image halves separately so the bilinear
+            # window never mixes image-a and image-b columns across the
+            # canvas seam
+            left = jax.vmap(lambda f: resize_bilinear(
+                f, (MAX_SIZE, MAX_SIZE)))(out[:, :, :half])
+            right = jax.vmap(lambda f: resize_bilinear(
+                f, (MAX_SIZE, MAX_SIZE)))(out[:, :, half:])
+            out = jnp.concatenate([left, right], axis=2)
+        return out
 
     return fn
 
 
-def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
+def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray,
+                       stride: int = 1) -> jnp.ndarray:
     """canvas (B, 256, 512, 3) normalized -> (B, 256, 512, 3) stacked
     [corr_x, corr_y (global canvas coords in [-1,1] doubled per half),
     confidence] exactly as reference one_pass (inference_helper.py:106-145).
@@ -129,9 +149,12 @@ def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray) -> jnp.ndarray:
     over the tunnel was a measurable share of dense_flow wall time
     (tools/triage_dense.py, VERDICT r3 weak #3).
     """
-    fn = getattr(runner, "_fused_dense", None)
+    cache = getattr(runner, "_fused_dense_cache", None)
+    if cache is None:
+        cache = runner._fused_dense_cache = {}
+    fn = cache.get(stride)
     if fn is None:
-        fn = runner._fused_dense = _make_fused_dense(runner)
+        fn = cache[stride] = _make_fused_dense(runner, stride)
     return fn(runner.params, canvas)
 
 
@@ -217,7 +240,8 @@ def merge_flow_patches(corrs: List[ImagePatch]
 
 
 def dense_flow_many(runner: ModelRunner, pairs,
-                    canvas_batch: int = 8) -> List[Tuple]:
+                    canvas_batch: int = 8,
+                    seed_stride: int = 1) -> List[Tuple]:
     """``cotr_flow`` over MANY image pairs with one batched device pass.
 
     ``pairs``: sequence of (img_a, img_b). Every patch-pair canvas of every
@@ -252,8 +276,8 @@ def dense_flow_many(runner: ModelRunner, pairs,
         if pad and len(jobs) > canvas_batch:
             canvas = jnp.concatenate(
                 [canvas, jnp.repeat(canvas[-1:], pad, axis=0)], axis=0)
-        outs.append(np.asarray(_dense_pass_device(runner, canvas))[
-            :len(chunk)])
+        outs.append(np.asarray(_dense_pass_device(
+            runner, canvas, stride=seed_stride))[:len(chunk)])
     corr_all = np.concatenate(outs, axis=0) if outs else \
         np.zeros((0, MAX_SIZE, 2 * MAX_SIZE, 3))
 

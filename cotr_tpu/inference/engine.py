@@ -90,11 +90,17 @@ class SparseEngine:
     def __init__(self, runner: ModelRunner, batch_size: int = 256,
                  mode: str = "stretching", task_bucket: int = 256,
                  image_bucket: int = 256, seed: int = 0, crop_dtype=None,
-                 mesh=None):
+                 mesh=None, seed_stride: int = 1):
         # batch_size bounds canvases per device dispatch: each canvas costs
         # ~8 MB of encoder attention temps per layer (f32), so very large
         # batches exhaust HBM with no throughput benefit
         assert mode in ("stretching", "tile")
+        # dense seed-pass grid stride: 1 = the reference's full 131k-query
+        # grid (exact parity); s > 1 decodes 1/s^2 of the grid and
+        # upsamples — for multipair workloads with few queries per pair the
+        # full-grid decode was 82% of wall (evals/triage_multipair_r5.json)
+        # and the refinement levels correct the coarser seeds
+        self.seed_stride = seed_stride
         self.runner = runner
         self.batch_size = batch_size
         self.mode = mode
@@ -149,7 +155,8 @@ class SparseEngine:
             else:
                 prepped.append((img_a, img_b, False, a_shape, b_shape))
         raw = dense_flow_many(self.runner,
-                              [(a, b) for a, b, _, _, _ in prepped])
+                              [(a, b) for a, b, _, _, _ in prepped],
+                              seed_stride=self.seed_stride)
         out = []
         for (_, _, stretched, a_shape, b_shape), \
                 (corr_a, con_a, corr_b, con_b) in zip(prepped, raw):
@@ -528,9 +535,11 @@ class FasterSparseEngine(SparseEngine):
                  image_bucket: int = 256, seed: int = 0, max_load: int = 256,
                  mesh=None, crop_dtype=None, safe_area: float = 0.5,
                  group_cap: int = 128, group_bucket: int = 8,
-                 member_bucket: int = 64, member_ladder: bool = False):
+                 member_bucket: int = 64, member_ladder: bool = False,
+                 seed_stride: int = 1):
         super().__init__(runner, batch_size, mode, task_bucket, image_bucket,
-                         seed, crop_dtype=crop_dtype, mesh=mesh)
+                         seed, crop_dtype=crop_dtype, mesh=mesh,
+                         seed_stride=seed_stride)
         self.max_load = max_load
         # dispatch chunking (refine_grouped defaults): group_cap bounds the
         # canvases per device call (attention buffers scale with it), and the

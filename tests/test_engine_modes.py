@@ -212,3 +212,41 @@ def test_safe_area_validation():
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValueError):
             FasterSparseEngine(IdentityRunner(), safe_area=bad)
+
+
+def test_dense_flow_many_seed_stride_coarse_grid(nonsquare_image):
+    """seed_stride > 1 decodes a subsampled grid and upsamples on device;
+    on smooth (identity) flow the coarse seed field must agree with the
+    full-grid field to a couple of px — the contract that lets the engine
+    trade seed resolution for the 82%-of-wall decode cost in small-query
+    multipair jobs (evals/triage_multipair_r5.json)."""
+    from cotr_tpu.inference.dense import dense_flow_many
+
+    runner = IdentityRunner()
+    pairs = [(nonsquare_image, nonsquare_image)]
+    full = dense_flow_many(runner, pairs, seed_stride=1)[0]
+    coarse = dense_flow_many(runner, pairs, seed_stride=4)[0]
+    h, w = nonsquare_image.shape[:2]
+    sl = np.s_[20:-20, 20:-20]
+    # corr fields are normalized [-1,1] per image: convert to px
+    dx = np.abs(full[0][..., 0] - coarse[0][..., 0])[sl] * w / 2
+    dy = np.abs(full[0][..., 1] - coarse[0][..., 1])[sl] * h / 2
+    assert dx.max() < 3.0, f"x dev {dx.max():.2f}px"
+    assert dy.max() < 3.0, f"y dev {dy.max():.2f}px"
+    # confidence stays confident on the smooth field
+    assert coarse[1][sl].max() < 0.1
+
+
+def test_engine_seed_stride_end_to_end(nonsquare_image):
+    """The engine's seed_stride knob must run end-to-end and stay within
+    refinement reach of the stride-1 answer on identity flow."""
+    runner = IdentityRunner()
+    q = np.stack([np.random.RandomState(3).uniform(30, 200, 24),
+                  np.random.RandomState(4).uniform(30, 200, 24)], axis=1)
+    eng = FasterSparseEngine(runner, mode="tile", seed_stride=4)
+    corrs = eng.cotr_corr_multiscale(
+        nonsquare_image, nonsquare_image, zoom_ins=[0.5],
+        queries_a=q.copy(), force=True, max_corrs=24)
+    err = np.abs(corrs[:, 2:] - corrs[:, :2]).max()
+    assert corrs.shape[0] == 24
+    assert err < 4.0, f"identity deviation {err:.2f}px with seed_stride=4"

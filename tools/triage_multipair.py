@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--ckpt", default="checkpoints/flagship.npz")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--seed_stride", type=int, default=1)
     ap.add_argument("--out", default="out/triage_multipair.json")
     args = ap.parse_args()
 
@@ -56,7 +57,8 @@ def main():
     model = build_model(cfg)
     params = load_params(args.ckpt, cfg)
     runner = ModelRunner(model, params)
-    engine = FasterSparseEngine(runner, mode="tile")
+    engine = FasterSparseEngine(runner, mode="tile",
+                                seed_stride=args.seed_stride)
 
     zoom_ins = [float(z) for z in args.zooms.split(",")]
     imr = np.random.RandomState(0)
@@ -118,6 +120,7 @@ def main():
     accounted = sum(per_trial.values())
     report = {
         "pairs": args.pairs, "queries_per_pair": args.queries,
+        "seed_stride": args.seed_stride,
         "zoom_depth": len(zoom_ins), "image_side": side,
         "wall_s_median": round(wall, 3),
         "wall_s_all": [round(w, 3) for w in walls],
