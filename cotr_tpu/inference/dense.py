@@ -63,11 +63,22 @@ def to_square_patches(img: np.ndarray) -> List[ImagePatch]:
         "aspect ratio > 2 not supported (reference inference_helper.py:56-57)")
 
 
-@functools.lru_cache(maxsize=2)
-def full_grid_queries(h: int = MAX_SIZE, w: int = 2 * MAX_SIZE) -> np.ndarray:
+@functools.lru_cache(maxsize=4)
+def full_grid_queries(h: int = MAX_SIZE, w: int = 2 * MAX_SIZE,
+                      stride: int = 1) -> np.ndarray:
     """The reference's dense query grid: x = j/w, y = i/h
-    (inference_helper.py:117-121) -> (h*w, 2) float32."""
+    (inference_helper.py:117-121) -> (h*w, 2) float32.
+
+    At ``stride`` > 1 the (h, w) subgrid samples the CENTER of each
+    stride-block instead of its corner: the host consumers upsample the
+    coarse field with center-aligned resizes (PIL), and corner-sampled
+    grids would carry a systematic ~stride/2-texel shift through them
+    (measured ~1.2 px median vs the full grid on identity flow; centered,
+    it drops an order of magnitude)."""
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    if stride > 1:
+        xs = xs + (stride - 1) / (2 * stride)
+        ys = ys + (stride - 1) / (2 * stride)
     grid = np.stack([xs / w, ys / h], axis=-1)
     return grid.reshape(-1, 2).astype(np.float32)
 
@@ -80,7 +91,12 @@ def _make_fused_dense(runner: ModelRunner, stride: int = 1):
     device. Seeding workloads with few queries per pair (the multipair
     dispatch-floor regime, where the full-grid decode was 82% of wall —
     evals/triage_multipair_r5.json) use stride > 1; the public dense_flow
-    stays stride 1 for exact reference parity."""
+    stays stride 1 for exact reference parity.
+
+    Accuracy caveat: coarser seeds land refinement in different basins on
+    hard content — with the from-scratch flagship, stride 4 moves final
+    answers by ~20 px median on a cathedral crop at zoom depth 2. Opt-in
+    throughput knob, default 1 everywhere."""
     model = runner.model
     chunk = runner.decode_chunk
     h, w = MAX_SIZE // stride, 2 * MAX_SIZE // stride
@@ -89,7 +105,8 @@ def _make_fused_dense(runner: ModelRunner, stride: int = 1):
     def fn(params, canvas):
         b = canvas.shape[0]
         queries = jnp.broadcast_to(
-            jnp.asarray(full_grid_queries(h, w))[None], (b, h * w, 2))
+            jnp.asarray(full_grid_queries(h, w, stride))[None],
+            (b, h * w, 2))
         memory = model.apply(params, canvas, method="encode")
         k = -(-(h * w) // chunk)
         pad = k * chunk - h * w
@@ -118,17 +135,12 @@ def _make_fused_dense(runner: ModelRunner, stride: int = 1):
             out_grid[:, :, :half, 0] * 2 - 1,
             out_grid[:, :, half:, 0] * 2 + 1,
         ], axis=2)
-        out = jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
-        if stride > 1:
-            # upsample the two image halves separately so the bilinear
-            # window never mixes image-a and image-b columns across the
-            # canvas seam
-            left = jax.vmap(lambda f: resize_bilinear(
-                f, (MAX_SIZE, MAX_SIZE)))(out[:, :, :half])
-            right = jax.vmap(lambda f: resize_bilinear(
-                f, (MAX_SIZE, MAX_SIZE)))(out[:, :, half:])
-            out = jnp.concatenate([left, right], axis=2)
-        return out
+        # NOTE: at stride > 1 the field returns at the SUBSAMPLED
+        # resolution — downloading a full-res upsample would cost 64 x
+        # 1.5 MB f32 over the ~30 MB/s tunnel (~3 s at 64 canvases, the
+        # dominant seed cost after the decode cut); the host consumer
+        # resizes fields to original image size anyway
+        return jnp.stack([corr_x, out_grid[..., 1], confidence], axis=-1)
 
     return fn
 
@@ -174,6 +186,55 @@ def _canvas_from_pair(img_a_sq: np.ndarray, img_b_sq: np.ndarray
 
     return normalize_canvas(
         two_images_side_by_side(to_dev(img_a_sq), to_dev(img_b_sq)))[None]
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_canvas_prep(h: int, w: int):
+    """One jitted program per source shape: (N, h, w, 3) uint8 stack ->
+    (N, 256, 256, 3) float halves, resized on device. Replaces per-image
+    uploads: each ``jnp.asarray`` upload pays the tunnel's ~24 ms sync
+    floor, so 2 uploads/pair x 64 pairs cost ~3 s before any compute
+    (evals/triage_multipair_r5.json unaccounted share)."""
+    @jax.jit
+    def fn(stack):
+        f = stack.astype(jnp.float32) / 255.0
+        return jax.vmap(
+            lambda im: resize_bilinear(im, (MAX_SIZE, MAX_SIZE)))(f)
+    return fn
+
+
+@jax.jit
+def _assemble_canvases(halves_a: jnp.ndarray, halves_b: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """(N, 256, 256, 3) resized float halves -> (N, 256, 512, 3) normalized
+    canvases, all on device."""
+    return normalize_canvas(jnp.concatenate([halves_a, halves_b], axis=2))
+
+
+def _canvases_for_jobs(jobs_imgs) -> jnp.ndarray:
+    """Canvases for a list of (img_a_sq, img_b_sq) pairs with batched
+    uploads: images are host-stacked per source shape and moved in ONE
+    transfer per shape group, then resized/assembled in two fused device
+    programs. Falls back to the per-pair path for float inputs (whose
+    [0,1]-vs-[0,255] scaling is decided per image)."""
+    imgs = []
+    for a, b in jobs_imgs:
+        imgs.append(np.asarray(a))
+        imgs.append(np.asarray(b))
+    if not all(im.dtype == np.uint8 and im.ndim == 3 for im in imgs):
+        return jnp.concatenate(
+            [_canvas_from_pair(a, b) for a, b in jobs_imgs], axis=0)
+    groups = {}
+    for k, im in enumerate(imgs):
+        groups.setdefault(im.shape[:2], []).append(k)
+    halves = [None] * len(imgs)
+    for (h, w), idxs in groups.items():
+        stack = np.stack([imgs[k] for k in idxs])  # one upload per shape
+        out = _batched_canvas_prep(h, w)(stack)
+        for j, k in enumerate(idxs):
+            halves[k] = out[j]
+    return _assemble_canvases(jnp.stack(halves[0::2]),
+                              jnp.stack(halves[1::2]))
 
 
 def dense_pass(runner: ModelRunner, img_a_sq: np.ndarray,
@@ -265,9 +326,8 @@ def dense_flow_many(runner: ModelRunner, pairs,
     outs = []
     for start in range(0, len(jobs), canvas_batch):
         chunk = jobs[start:start + canvas_batch]
-        canvas = jnp.concatenate(
-            [_canvas_from_pair(p_i.patch, p_j.patch)
-             for _, p_i, p_j in chunk], axis=0)
+        canvas = _canvases_for_jobs(
+            [(p_i.patch, p_j.patch) for _, p_i, p_j in chunk])
         # pad remainder chunks up to canvas_batch (repeat the last canvas):
         # a data-dependent tail size would compile a fresh encoder + decode
         # scan per distinct batch shape (same shape-stability rule the
@@ -283,9 +343,10 @@ def dense_flow_many(runner: ModelRunner, pairs,
 
     per_pair_a: List[List[ImagePatch]] = [[] for _ in pairs]
     per_pair_b: List[List[ImagePatch]] = [[] for _ in pairs]
+    half = MAX_SIZE // seed_stride
     for k, (pi, p_i, p_j) in enumerate(jobs):
-        c_i = corr_all[k, :, :MAX_SIZE].copy()
-        c_j = corr_all[k, :, MAX_SIZE:].copy()
+        c_i = corr_all[k, :, :half].copy()
+        c_j = corr_all[k, :, half:].copy()
         # map patch-local predictions to global [-1,1] of the other image
         s_j, t_j = _patch_affine(p_j)
         s_i, t_i = _patch_affine(p_i)

@@ -472,7 +472,7 @@ class SparseEngine:
                 for p_j in patches_b:
                     entries.append((ji, p_i, p_j, qn, in_patch))
 
-        from cotr_tpu.inference.dense import _canvas_from_pair
+        from cotr_tpu.inference.dense import _canvases_for_jobs
 
         n_max = max(e[3].shape[0] for e in entries)
         n_pad = max(8, -(-n_max // 8) * 8)  # query-count bucket
@@ -484,9 +484,8 @@ class SparseEngine:
         outs, cycles = [], []
         for start in range(0, len(entries), chunk):
             sub = entries[start:start + chunk]
-            canvas = jnp.concatenate(
-                [_canvas_from_pair(p_i.patch, p_j.patch)
-                 for _, p_i, p_j, _, _ in sub], axis=0)
+            canvas = _canvases_for_jobs(
+                [(p_i.patch, p_j.patch) for _, p_i, p_j, _, _ in sub])
             qb = q_all[start:start + len(sub)]
             pad = chunk - len(sub)
             if pad and len(entries) > chunk:

@@ -12,7 +12,7 @@ echo ":: [1/3] scaled generated-scene 3-stage training ($(date))"
 timeout 18000 python -u tools/run_generated_training.py \
     --root /tmp/gen_md_r5 --out out/gen_training_r5 \
     --train_scenes 6 --train_caps 350 --val_caps 100 \
-    --stage1_iters 8000 --stage2_iters 3000 --stage3_iters 2000 \
+    --stage1_iters 10000 --stage2_iters 4000 --stage3_iters 2500 \
     --valid_iter 250 \
     --init_weights checkpoints/flagship.npz \
     > /tmp/gen_train_r5.log 2>&1
