@@ -316,6 +316,21 @@ class SparseEngine:
         sel = np.where(oob, np.inf, cyc).argmin(axis=0)
         return hist[sel, np.arange(t)], cyc
 
+    def _filter_mask(self, loc_from, history, img_a_shape, img_b_shape,
+                     best=None):
+        """The conclude filters as a boolean keep-mask: std filter
+        (refinement_task.py:184-188) + border filter
+        (sparse_engine.py:58-84), vectorized."""
+        if best is None:
+            best = history[-1]
+        corrs = np.concatenate([loc_from, best], axis=1)
+        std = history.std(axis=0).max(axis=1)  # (T,)
+        keep = std < THRESHOLD_PIXELS_RELATIVE * max(*img_b_shape)
+        hi = np.concatenate([np.asarray(img_a_shape[::-1]),
+                             np.asarray(img_b_shape[::-1])])
+        keep &= (corrs < hi).all(axis=1) & (corrs > 0).all(axis=1)
+        return keep
+
     def _conclude(self, loc_from, history, ident, img_a_shape, img_b_shape,
                   force, best_override=None):
         """std filter (refinement_task.py:184-188) + border filter
@@ -324,11 +339,8 @@ class SparseEngine:
         corrs = np.concatenate([loc_from, best], axis=1)
         keep = np.ones(len(corrs), bool)
         if not force:
-            std = history.std(axis=0).max(axis=1)  # (T,)
-            keep &= std < THRESHOLD_PIXELS_RELATIVE * max(*img_b_shape)
-            hi = np.concatenate([np.asarray(img_a_shape[::-1]),
-                                 np.asarray(img_b_shape[::-1])])
-            keep &= (corrs < hi).all(axis=1) & (corrs > 0).all(axis=1)
+            keep = self._filter_mask(loc_from, history, img_a_shape,
+                                     img_b_shape, best=best)
         return corrs[keep], ident[keep]
 
     # ------------------------------------------------------------ public API
@@ -339,7 +351,7 @@ class SparseEngine:
                              queries_a: Optional[np.ndarray] = None,
                              return_idx: bool = False, force: bool = False,
                              areas: Optional[Sequence[float]] = None,
-                             cycle_select: bool = False, _dense=None):
+                             cycle_select=False, _dense=None):
         """Reference API (sparse_engine.py:197-233): multiscale sparse
         correspondence a->b. Returns (max_corrs, 4) [x_a, y_a, x_b, y_b]
         (+ query indices with return_idx). ``_dense``: precomputed seed
@@ -351,7 +363,9 @@ class SparseEngine:
         every query's zoom-history candidates (seed + per-level estimates)
         by one batched reverse cycle check and return the per-query argmin
         instead of the final level — recovers force=True queries whose
-        refinement walk diverged (see ``_cycle_select``)."""
+        refinement walk diverged (see ``_cycle_select``). ``"rescue"``
+        applies the selection only to queries the std/border filters flag,
+        keeping the converged answer for healthy queries."""
         img_a = np.asarray(img_a)
         img_b = np.asarray(img_b)
         if queries_a is not None:
@@ -380,6 +394,18 @@ class SparseEngine:
             best_override, cyc = self._cycle_select(
                 img_a, img_b, loc_from, history, area_a, area_b,
                 self.cycle_zoom if self.cycle_zoom else zoom_ins[0])
+            if cycle_select == "rescue":
+                # rescue mode: keep the converged answer wherever the
+                # engine's own std/border filters pass, and spend the
+                # cycle-selected candidate ONLY on flagged queries — the
+                # full-replacement mode measurably trades median for tail
+                # (eval suite: median 11.5 -> 13.7 px, p90 66 -> 51;
+                # PERF.md §10), rescue targets the tail without touching
+                # the healthy center mass
+                healthy = self._filter_mask(loc_from, history,
+                                            img_a.shape[:2], img_b.shape[:2])
+                best_override = np.where(healthy[:, None], history[-1],
+                                         best_override)
         corrs, idx = self._conclude(loc_from, history, ident,
                                     img_a.shape[:2], img_b.shape[:2], force,
                                     best_override=best_override)

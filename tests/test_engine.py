@@ -450,3 +450,36 @@ def test_cycle_select_end_to_end_no_harm(stub_runner):
     out = eng.cotr_corr_multiscale(img, img, cycle_select=True, **kw)
     assert out.shape == ref.shape
     np.testing.assert_allclose(out[:, 2:], out[:, :2], atol=1.5)
+
+
+def test_cycle_select_rescue_keeps_healthy_answers(stub_runner):
+    """cycle_select="rescue" must leave queries that pass the std/border
+    filters untouched (the converged answer) and apply candidate selection
+    only to flagged ones — the mode that improves the tail without paying
+    the measured median cost of full replacement (PERF.md §10)."""
+    eng = SparseEngine(stub_runner, mode="tile", task_bucket=64)
+    rng = np.random.RandomState(9)
+    img = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    queries = rng.uniform(60, 450, (12, 2))
+
+    # the identity stub converges near the query -> all queries healthy;
+    # rescue must then return exactly the plain force=True answers even
+    # when the reverse pass would prefer a different (corrupted) candidate
+    plain = eng.cotr_corr_multiscale(img, img, zoom_ins=[0.5, 0.25],
+                                     max_corrs=12, queries_a=queries.copy(),
+                                     force=True)
+    orig_cs = eng._cycle_select
+    eng._cycle_select = lambda *a, **k: (
+        np.full((12, 2), -77.0), np.zeros((3, 12)))
+    rescued = eng.cotr_corr_multiscale(img, img, zoom_ins=[0.5, 0.25],
+                                       max_corrs=12,
+                                       queries_a=queries.copy(),
+                                       force=True, cycle_select="rescue")
+    np.testing.assert_allclose(rescued, plain, atol=1e-9)
+    # sanity: full replacement WOULD have taken the corrupted override
+    replaced = eng.cotr_corr_multiscale(img, img, zoom_ins=[0.5, 0.25],
+                                        max_corrs=12,
+                                        queries_a=queries.copy(),
+                                        force=True, cycle_select=True)
+    assert (replaced[:, 2:] == -77.0).all()
+    eng._cycle_select = orig_cs
