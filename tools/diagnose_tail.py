@@ -45,7 +45,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--tail_px", type=float, default=5.0)
     ap.add_argument("--zoom_depth", type=int, default=4)
-    ap.add_argument("--cycle_select", action="store_true",
+    ap.add_argument("--cycle_select", nargs="?", const=True,
+                    default=False,
+                    type=lambda v: v if v == "rescue" else v == "true",
                     help="enable the engine's cycle-scored candidate "
                          "selection and classify its OUTPUTS (what-if "
                          "measurement of the round-5 divergence fix)")
