@@ -28,4 +28,13 @@ if [ -n "$GEN3" ]; then
   echo ":: eval_suite rc=$? ($(date))"
 fi
 
-echo ":: [3/3] done ($(date))"
+echo ":: [3/4] eval_suite rescue-mode on the flagship ($(date))"
+timeout 3600 python -u tools/eval_suite.py --ckpt checkpoints/flagship.npz \
+    --cycle_select rescue \
+    --out out/eval_suite_flagship_rescue > /tmp/eval_suite_rescue.log 2>&1
+echo ":: eval_suite rescue rc=$? ($(date))"
+
+echo ":: [4/4] full bench ($(date))"
+timeout 3600 python -u bench.py > /tmp/bench_r5.log 2>&1
+echo ":: bench rc=$? ($(date))"
+echo ":: queue complete ($(date))"
