@@ -256,3 +256,19 @@ def test_engine_seed_stride_end_to_end(nonsquare_image):
     err = np.abs(corrs[:, 2:] - corrs[:, :2]).max()
     assert corrs.shape[0] == 24
     assert err < 4.0, f"identity deviation {err:.2f}px with seed_stride=4"
+
+
+def test_canvases_for_jobs_float_fallback_matches_batched():
+    """_canvases_for_jobs: the batched uint8 path and the per-pair float
+    fallback must produce identical canvases for the same content."""
+    from cotr_tpu.inference.dense import _canvases_for_jobs
+
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 255, (120, 120, 3), np.uint8) for _ in range(4)]
+    pairs = [(imgs[0], imgs[1]), (imgs[2], imgs[3])]
+    batched = np.asarray(_canvases_for_jobs(pairs))
+    fallback = np.asarray(_canvases_for_jobs(
+        [(a.astype(np.float32) * 1.0, b.astype(np.float32) * 1.0)
+         for a, b in pairs]))
+    assert batched.shape == fallback.shape == (2, 256, 512, 3)
+    np.testing.assert_allclose(batched, fallback, atol=2e-5)
