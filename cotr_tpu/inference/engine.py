@@ -100,6 +100,10 @@ class SparseEngine:
         # upsamples — for multipair workloads with few queries per pair the
         # full-grid decode was 82% of wall (evals/triage_multipair_r5.json)
         # and the refinement levels correct the coarser seeds
+        if seed_stride < 1 or 256 % seed_stride:
+            raise ValueError(
+                f"seed_stride must divide the 256-px canvas half, got "
+                f"{seed_stride}")
         self.seed_stride = seed_stride
         self.runner = runner
         self.batch_size = batch_size
