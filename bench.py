@@ -67,9 +67,10 @@ def main():
                     help="run with TRAINED weights (torch/Trainer/raw orbax "
                          "layouts) instead of the synthetic centered head — "
                          "the honest-grouping-density benchmark (VERDICT r2)")
-    ap.add_argument("--serial_guided", action="store_true",  # kept for CLI compat; serial arm now always timed
-                    help="also time the guided job serially (one direction "
-                         "per engine call) for the multipair-batching delta")
+    ap.add_argument("--serial_guided", action="store_true",
+                    help="no-op (kept for CLI compat): the guided job now "
+                         "always times BOTH the multipair and serial arms "
+                         "interleaved and reports the faster median")
     args = ap.parse_args()
     if args.quick and not any(a.startswith("--flash") for a in sys.argv):
         # quick smoke: skip the Pallas kernel (fresh compiles for the tiny

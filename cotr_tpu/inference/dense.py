@@ -87,8 +87,9 @@ def _make_fused_dense(runner: ModelRunner, stride: int = 1):
     """Fused dense pass at a grid ``stride``: stride 1 decodes the
     reference's full 131,072-query grid (inference_helper.py:117-121);
     stride s decodes a (256/s, 512/s) subgrid — 1/s² of the decode FLOPs —
-    and bilinearly upsamples corr+confidence back to full resolution on
-    device. Seeding workloads with few queries per pair (the multipair
+    and returns it at that SUBSAMPLED resolution (the host consumers
+    resize fields to original image size anyway; a full-res device
+    upsample would multiply the tunnel download 16x). Seeding workloads with few queries per pair (the multipair
     dispatch-floor regime, where the full-grid decode was 82% of wall —
     evals/triage_multipair_r5.json) use stride > 1; the public dense_flow
     stays stride 1 for exact reference parity.
@@ -147,9 +148,10 @@ def _make_fused_dense(runner: ModelRunner, stride: int = 1):
 
 def _dense_pass_device(runner: ModelRunner, canvas: jnp.ndarray,
                        stride: int = 1) -> jnp.ndarray:
-    """canvas (B, 256, 512, 3) normalized -> (B, 256, 512, 3) stacked
-    [corr_x, corr_y (global canvas coords in [-1,1] doubled per half),
-    confidence] exactly as reference one_pass (inference_helper.py:106-145).
+    """canvas (B, 256, 512, 3) normalized -> (B, 256/stride, 512/stride,
+    3) stacked [corr_x, corr_y (global canvas coords in [-1,1] doubled per
+    half), confidence]; at the default stride 1 this is exactly reference
+    one_pass (inference_helper.py:106-145).
 
     The batch axis carries independent canvases — patch-pairs of one image
     pair and/or canvases of DIFFERENT pairs — so multi-pair workloads fill
@@ -315,6 +317,9 @@ def dense_flow_many(runner: ModelRunner, pairs,
 
     Returns one (corr_a, con_a, corr_b, con_b) tuple per pair.
     """
+    if seed_stride < 1 or MAX_SIZE % seed_stride:
+        raise ValueError(f"seed_stride must divide MAX_SIZE={MAX_SIZE}, "
+                         f"got {seed_stride}")
     jobs = []  # (pair_index, p_i, p_j)
     for pi, (img_a, img_b) in enumerate(pairs):
         for p_i in to_square_patches(img_a):

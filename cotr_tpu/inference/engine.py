@@ -100,10 +100,11 @@ class SparseEngine:
         # upsamples — for multipair workloads with few queries per pair the
         # full-grid decode was 82% of wall (evals/triage_multipair_r5.json)
         # and the refinement levels correct the coarser seeds
-        if seed_stride < 1 or 256 % seed_stride:
+        from cotr_tpu.utils.constants import MAX_SIZE
+        if seed_stride < 1 or MAX_SIZE % seed_stride:
             raise ValueError(
-                f"seed_stride must divide the 256-px canvas half, got "
-                f"{seed_stride}")
+                f"seed_stride must divide the {MAX_SIZE}-px canvas half, "
+                f"got {seed_stride}")
         self.seed_stride = seed_stride
         self.runner = runner
         self.batch_size = batch_size
@@ -394,22 +395,31 @@ class SparseEngine:
         history = self._refine_all(img_a, img_b, loc_from, loc_to,
                                    area_a, area_b, zoom_ins, converge_iters)
         best_override, cyc = None, None
-        if cycle_select:
+        if cycle_select == "rescue":
+            # rescue mode: keep the converged answer wherever the engine's
+            # own std/border filters pass, and spend the reverse cycle
+            # check ONLY on flagged queries — full replacement measurably
+            # trades median for tail (eval suite: median 11.5 -> 13.7 px,
+            # p90 66 -> 51; PERF.md §10); rescue targets the tail without
+            # touching the healthy center mass, and the subset keeps the
+            # reverse pass (the feature's dominant cost) proportional to
+            # the tail, not the workload
+            check = self.cycle_zoom if self.cycle_zoom else zoom_ins[0]
+            healthy = self._filter_mask(loc_from, history,
+                                        img_a.shape[:2], img_b.shape[:2])
+            flagged = np.nonzero(~healthy)[0]
+            best_override = history[-1].copy()
+            cyc = np.full((history.shape[0], len(loc_from)), np.nan)
+            if len(flagged):
+                sel, cyc_sub = self._cycle_select(
+                    img_a, img_b, loc_from[flagged], history[:, flagged],
+                    area_a, area_b, check)
+                best_override[flagged] = sel
+                cyc[:, flagged] = cyc_sub
+        elif cycle_select:
             best_override, cyc = self._cycle_select(
                 img_a, img_b, loc_from, history, area_a, area_b,
                 self.cycle_zoom if self.cycle_zoom else zoom_ins[0])
-            if cycle_select == "rescue":
-                # rescue mode: keep the converged answer wherever the
-                # engine's own std/border filters pass, and spend the
-                # cycle-selected candidate ONLY on flagged queries — the
-                # full-replacement mode measurably trades median for tail
-                # (eval suite: median 11.5 -> 13.7 px, p90 66 -> 51;
-                # PERF.md §10), rescue targets the tail without touching
-                # the healthy center mass
-                healthy = self._filter_mask(loc_from, history,
-                                            img_a.shape[:2], img_b.shape[:2])
-                best_override = np.where(healthy[:, None], history[-1],
-                                         best_override)
         corrs, idx = self._conclude(loc_from, history, ident,
                                     img_a.shape[:2], img_b.shape[:2], force,
                                     best_override=best_override)

@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--zoom_depth", type=int, default=4)
     ap.add_argument("--cycle_select", nargs="?", const=True,
                     default=False,
-                    type=lambda v: v if v == "rescue" else v == "true",
+                    type=lambda v: {"rescue": "rescue", "true": True}[v],
                     help="enable the engine's cycle-scored candidate "
                          "selection and classify its OUTPUTS (what-if "
                          "measurement of the round-5 divergence fix)")

@@ -75,7 +75,7 @@ def main():
     ap.add_argument("--zoom_depth", type=int, default=4)
     ap.add_argument("--converge_iters", type=int, default=1)
     ap.add_argument("--cycle_select", nargs="?", const=True, default=False,
-                    type=lambda v: v if v == "rescue" else v == "true",
+                    type=lambda v: {"rescue": "rescue", "true": True}[v],
                     help="engine-side cycle-scored candidate selection "
                          "(engine.cotr_corr_multiscale(cycle_select=True)): "
                          "replaces diverged force=True outputs with the "

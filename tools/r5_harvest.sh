@@ -15,7 +15,12 @@ cp -f out/gen_training_r5/summary.json evals/gen_training_r5_summary.json 2>/dev
 cp -f out/gen_training_r5/eval_megadepth.json evals/gen_training_r5_eval_megadepth.json 2>/dev/null
 cp -f out/eval_suite_gen3/eval_suite.json evals/eval_suite_gen3.json 2>/dev/null
 cp -f out/eval_suite_flagship_rescue/eval_suite.json evals/eval_suite_flagship_rescue.json 2>/dev/null
-grep -v WARNING /tmp/bench_r5.log | tail -1 > evals/bench_r5_headline.json 2>/dev/null
+HL=$(grep -v WARNING /tmp/bench_r5.log 2>/dev/null | tail -1)
+if echo "$HL" | python3 -c "import json,sys; json.loads(sys.stdin.read())" 2>/dev/null; then
+  echo "$HL" > evals/bench_r5_headline.json
+else
+  echo ":: bench headline is not valid JSON, skipping (last line: $HL)"
+fi
 tail -40 /tmp/r5_gen_queue.log > evals/r5_queue_tail.log 2>/dev/null
 
 git add evals/ 2>/dev/null
