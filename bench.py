@@ -280,6 +280,7 @@ def main():
     # level rides 4k-member squads while the density-bound deepest level
     # is not padded up to them.
     if not args.quick and os.path.isdir(sample):
+      try:
         import PIL.Image
 
         ns_a = np.array(PIL.Image.open(
@@ -317,6 +318,8 @@ def main():
             **trial_stats(ns_walls),
             "q_s": round(len(ns_q) / ns_dt, 1),
             "vs_north_star_50k": round(len(ns_q) / ns_dt / 50_000, 3)}
+      except Exception as e:  # never let this regime sink the headline
+        detail["north_star_dense_grid"] = {"error": repr(e)}
 
     # ------------------------------------------------- guided-matching job
     # the EXACT reference workload (demo_guided_matching.py:36-45 +
